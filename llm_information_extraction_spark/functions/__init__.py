@@ -1,0 +1,16 @@
+from .normalize import (  # noqa: F401
+    canonicalize_array,
+    canonicalize_col,
+    clean_split,
+    empty_tokens_array,
+    is_empty_token,
+    normalize_text,
+    strip_pmc_prefix,
+)
+from .textmetrics import (  # noqa: F401
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    tokenize,
+)
