@@ -1,0 +1,171 @@
+"""Canonicalization: connected components over the alias-similarity graph.
+
+The reference's canonical maps (evaluation_gpt4_vs_gpt5.py:99-127) are a
+hand-maintained union-find: alias → canonical. At corpus scale the same
+structure is the transitive closure of the alias edge list (exact map
+edges + fuzzy ≥0.95 links), i.e. connected components. We compute them
+with the **large-star / small-star** alternating DataFrame-join algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+— a published public algorithm), which converges in O(log² n) rounds and
+needs only groupBy/join primitives:
+
+- large-star: every node connects its *larger* neighbors to its current
+  minimum neighbor;
+- small-star: every node connects its *smaller-or-equal* neighbors to the
+  minimum.
+
+Each round is one shuffle; ``localCheckpoint`` truncates the lineage so
+the plan doesn't grow across iterations (SURVEY §4 requirement). Node ids
+are strings (entity surfaces); ordering is lexicographic, so the
+component representative — the entity id — is the lexicographically
+smallest member, which is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected, deduped, self-loop-free (src < dst) edge list."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return e.filter(F.col("src") != F.col("dst")).dropDuplicates()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """edges(src string, dst string) → (node string, component string).
+
+    component = min node id in the component. Isolated nodes (no edges)
+    are the caller's concern — join the result back with a coalesce.
+    """
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    if e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, component string")
+
+    for _ in range(max_iterations):
+        # -- large-star ----------------------------------------------------
+        # neighborhoods in both directions
+        nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+        mins = mins.withColumn("m", F.least("src", "m"))
+        large = (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))  # larger neighbors only
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e1 = _canonical_edges(large.union(e))
+
+        # -- small-star ----------------------------------------------------
+        nbrs = e1.union(
+            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+        mins = mins.withColumn("m", F.least("src", "m"))
+        small = (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") <= F.col("src"))  # smaller-or-equal neighbors
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e2 = _canonical_edges(small.union(e1)).localCheckpoint(eager=True)
+
+        # converged when the edge set is a star forest pointing at minima
+        # (stable between rounds)
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+
+    # after convergence every edge is (member, component-min)
+    nodes = e.select(F.col("dst").alias("node")).union(
+        e.select(F.col("src").alias("node"))
+    ).distinct()
+    comp = e.union(e.select("dst", "src")).groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.least(F.coalesce("component", "node"), F.col("node")).alias("component"),
+        )
+    )
+
+
+def build_entities(
+    vocab_df: DataFrame,
+    fuzzy_links: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the ``entities`` table from alias edges.
+
+    vocab_df: (field, surface, canonical) — each row is an edge
+    surface↔canonical. fuzzy_links (optional): (field, surface, canonical,
+    score) edges discovered by LSH linking. Output:
+
+        entities(entity_id string, field string, canonical string,
+                 aliases array<string>, n_aliases int)
+
+    entity_id = lexicographically-smallest alias in the component, scoped
+    per field (tract aliases never merge with disease aliases).
+    """
+    base = vocab_df.select("field", "surface", "canonical")
+    if fuzzy_links is not None:
+        base = base.unionByName(
+            fuzzy_links.select("field", "surface", "canonical")
+        )
+    # scope components per field by prefixing node ids with the field
+    edges = base.select(
+        F.concat_ws("\x1f", "field", "surface").alias("src"),
+        F.concat_ws("\x1f", "field", "canonical").alias("dst"),
+    )
+    cc = connected_components(edges)
+    # isolated nodes (self-loop-only aliases, e.g. surface == canonical)
+    # are dropped by CC; restore them with component = themselves
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cc = all_nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    members = cc.select(
+        F.split_part("node", F.lit("\x1f"), F.lit(1)).alias("field"),
+        F.split_part("node", F.lit("\x1f"), F.lit(2)).alias("alias"),
+        F.split_part("component", F.lit("\x1f"), F.lit(2)).alias("entity_id"),
+    )
+    # representative canonical = the most frequent canonical among member
+    # rows of vocab (deterministic tiebreak by value)
+    canon_votes = base.join(
+        members,
+        (base["field"] == members["field"]) & (base["surface"] == members["alias"]),
+    ).select(members["field"], "entity_id", base["canonical"])
+    top_canon = (
+        canon_votes.groupBy("field", "entity_id", "canonical")
+        .count()
+        .groupBy("field", "entity_id")
+        .agg(
+            F.max_by(
+                "canonical", F.struct(F.col("count"), F.col("canonical"))
+            ).alias("canonical")
+        )
+    )
+    return (
+        members.groupBy("field", "entity_id")
+        .agg(F.array_sort(F.collect_set("alias")).alias("aliases"))
+        .join(top_canon, ["field", "entity_id"], "left")
+        .select(
+            "entity_id",
+            "field",
+            F.coalesce("canonical", "entity_id").alias("canonical"),
+            "aliases",
+            F.size("aliases").alias("n_aliases"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Connected-components + entities-table tests (FIXTURES.md T4 chains)."""
+
+from pyspark.sql import functions as F
+
+from llm_information_extraction_spark.operators.canonicalize import (
+    build_entities,
+    connected_components,
+)
+
+
+def test_transitive_chain(spark):
+    # a~b, b~c, d~e  ⇒ {a,b,c} and {d,e}
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "e")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_long_path_converges(spark):
+    # a path graph of 30 nodes must collapse to a single component
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)],
+        "src string, dst string",
+    )
+    comps = connected_components(edges)
+    assert comps.select("component").distinct().count() == 1
+    assert comps.count() == 30
+    assert comps.agg(F.min("component")).collect()[0][0] == "n00"
+
+
+def test_self_loops_and_dups_ignored(spark):
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_build_entities_merges_aliases(spark):
+    vdf = spark.createDataFrame(
+        [
+            ("tract", "slf", "superior longitudinal fasciculus"),
+            ("tract", "slf i", "superior longitudinal fasciculus"),
+            ("tract", "superior longitudinal fasciculus",
+             "superior longitudinal fasciculus"),
+            ("tract", "fornix", "fornix"),
+            # same surface under a different field must NOT merge
+            ("disease", "fornix", "fornix"),
+        ],
+        "field string, surface string, canonical string",
+    )
+    ents = build_entities(vdf)
+    rows = {(r["field"], r["canonical"]): r for r in ents.collect()}
+    slf = rows[("tract", "superior longitudinal fasciculus")]
+    assert set(slf["aliases"]) == {
+        "slf", "slf i", "superior longitudinal fasciculus",
+    }
+    assert slf["n_aliases"] == 3
+    assert ("tract", "fornix") in rows and ("disease", "fornix") in rows
+    assert rows[("tract", "fornix")]["aliases"] == ["fornix"]

@@ -1,0 +1,89 @@
+"""Resume semantics: kill after stage-k snapshot, rerun, identical output.
+
+BASELINE.md resumability target: a killed run resumes from the last
+committed snapshot (catalog manifest commit is atomic) and the final
+triples are identical to an uninterrupted run.
+"""
+
+import json
+from pathlib import Path
+
+from llm_information_extraction_spark.plans.pipeline import (
+    KGPipeline,
+    PipelineConfig,
+)
+
+CFG = PipelineConfig(n_docs=60, seed=11)
+
+
+def _triples_set(df):
+    return {(r["doc_id"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    # uninterrupted run
+    full = KGPipeline(spark, str(tmp_path / "w_full"), CFG)
+    full.run()
+    want = _triples_set(full.read("triples"))
+    assert want
+
+    # killed run: stop after mentions commit
+    wh = str(tmp_path / "w_killed")
+    killed = KGPipeline(spark, wh, CFG)
+    killed.run(stop_after="mentions")
+    assert killed.catalog.exists("mentions")
+    assert not killed.catalog.exists("triples")
+    mention_snap = killed.catalog.current_snapshot("mentions")
+
+    # resume in a NEW pipeline object (fresh driver)
+    resumed = KGPipeline(spark, wh, CFG)
+    resumed.run(resume=True)
+    got = _triples_set(resumed.read("triples"))
+    assert got == want
+    # committed stages were NOT recomputed (snapshot id unchanged)
+    assert resumed.catalog.current_snapshot("mentions") == mention_snap
+
+
+def test_config_change_invalidates_snapshots(spark, tmp_path):
+    wh = str(tmp_path / "w_cfg")
+    p1 = KGPipeline(spark, wh, CFG)
+    p1.run(stop_after="mentions")
+    snap0 = p1.catalog.current_snapshot("mentions")
+
+    p2 = KGPipeline(spark, wh, PipelineConfig(n_docs=60, seed=12))
+    p2.run(stop_after="mentions")
+    assert p2.catalog.current_snapshot("mentions") == snap0 + 1
+
+
+def test_crash_mid_write_invisible(spark, tmp_path):
+    """A snapshot dir without a manifest commit must be invisible."""
+    wh = tmp_path / "w_crash"
+    p = KGPipeline(spark, str(wh), CFG)
+    p.run(stop_after="ingest")
+    # simulate a crashed writer: orphan snapshot dir, manifest not updated
+    orphan = wh / "mentions" / "snap_000099"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"garbage")
+    assert not p.catalog.exists("mentions")
+    # resume runs mentions from scratch and commits cleanly
+    p2 = KGPipeline(spark, str(wh), CFG)
+    p2.run(stop_after="mentions")
+    m = json.loads((wh / "mentions" / "_manifest.json").read_text())
+    assert m["current"] == 0
+
+
+def test_lineage_recorded_per_partition(spark, tmp_path):
+    wh = str(tmp_path / "w_lin")
+    p = KGPipeline(spark, wh, CFG)
+    counts = p.run()
+    lineage = p.read("lineage")
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert {"ingest", "mentions", "triples", "entities"} <= stages
+    # rows_out sums match stage counts
+    agg = {
+        r["stage"]: r["total"]
+        for r in lineage.groupBy("stage").sum("rows_out")
+        .withColumnRenamed("sum(rows_out)", "total").collect()
+    }
+    for stage in ("mentions", "triples", "entities"):
+        assert agg[stage] == counts[stage]
