@@ -1,0 +1,376 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Catalyst expressions (whole-stage codegen, zero
+Python): shingling, MinHash signatures, SimHash bits, Jaccard via
+set-similarity joins. Only the final connected-components grouping runs
+the iterative join loop from :mod:`.canonicalize`.
+
+Scale notes (100 TB):
+- exact dedup shuffles 16-byte md5 keys, never documents;
+- MinHash banding turns the O(n²) pair space into per-band groupBys;
+  band keys are salted into the shuffle naturally (hash partitioning);
+- candidate verification recomputes true n-gram Jaccard only on pairs
+  that share a band — the classic MinHash+LSH recipe (Broder '97,
+  Leskovec-Rajaraman-Ullman ch.3);
+- SimHash uses 64-bit signatures + 4×16-bit band blocking
+  (Manku-Jain-Sadhwani, WWW'07 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textmetrics import doc_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (fingerprint, n_docs, keep_id, doc_ids) for groups with >1 doc.
+    """
+    fp = df.select(
+        F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    with_fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = with_fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    return with_fp.join(keep, [ "__fp", id_col]).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")), " "
+    )
+    n_sh = F.greatest(F.size(words) - n + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard set-similarity self-join
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ threshold.
+
+    Exact (not approximate): explode shingles → equi-join on shingle →
+    per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|). The shuffle
+    key is the shingle, so common shingles fan out — at scale, drop
+    ultra-frequent shingles first (stop-shingle filtering) or use
+    :func:`minhash_dedup_groups`. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("size", F.size("shingles"))
+    tok = sh.select("id", "size", F.explode("shingles").alias("shingle"))
+    a = tok.select(
+        F.col("id").alias("id_a"), F.col("size").alias("size_a"), "shingle"
+    )
+    b = tok.select(
+        F.col("id").alias("id_b"), F.col("size").alias("size_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("size_a") + F.col("size_b") - F.col("c"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature, fully JVM-side, single pass.
+
+    h_i(S) = min over shingles of xxhash64(shingle, seed+i); computed as
+    one ``aggregate`` with an array accumulator (acc[i] = running min),
+    i.e. one linear scan of the shingle set regardless of num_hashes.
+    """
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda m, h: F.least(m, h),
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    ``bands`` bands of ``num_hashes/bands`` rows each; docs sharing any
+    band bucket become a candidate pair. Probability a pair with true
+    Jaccard j collides: 1-(1-j^r)^b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, n), num_hashes, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash banding → exact Jaccard verify →
+    connected components. Returns (doc_id, group_id); group_id = min id
+    of the cluster; singletons omitted."""
+    from .canonicalize import connected_components
+
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, seed
+    )
+    # verify candidates with true Jaccard on the shingle sets
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").cast("string").alias("src"),
+                F.col("id_b").cast("string").alias("dst"))
+    )
+    cc = connected_components(verified)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(col: Column | str, n: int = 2) -> Column:
+    """64-bit SimHash of word n-gram shingles — pure expressions.
+
+    bit b of the signature = sign of Σ_shingles (±1 by bit b of
+    xxhash64(shingle)). One ``aggregate`` pass with a 64-slot array
+    accumulator of bit-sums, then folded back into a single long.
+    """
+    sh = word_shingles(col, n)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    sums = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                # getbit accepts a column bit position (shiftrightunsigned
+                # in the Python API only takes int literals)
+                lambda b: F.call_function("getbit", F.xxhash64(s), b).cast("long"),
+            ),
+            lambda a, bit: a + bit * 2 - 1,
+        ),
+    )
+    # fold sign bits back into one 64-bit long (bit 63 = long sign bit)
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        mask = F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
+        out = out.bitwiseOR(
+            F.when(F.element_at(sums, b + 1) >= 0, mask).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n: int = 2,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking (Manku-Jain-Sadhwani, WWW'07): split the 64-bit signature
+    into ``max_hamming + 1`` contiguous bands — by pigeonhole, any pair
+    within the Hamming budget shares at least one exact band, so the
+    block is lossless. Each band is one shuffle of (band, key).
+    """
+    n_bands = min(max_hamming + 1, 32)
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, n).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), offsets[k])
+                        .bitwiseAND(F.lit((1 << widths[k]) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (zip_with dot
+    + aggregate norms, all JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold — brute-force O(n²) variant.
+
+    Correctness baseline for small n; the scale path is
+    :func:`..operators.similarity.rp_lsh_near_dup_pairs` (random
+    hyperplane bucketing before the exact check).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("v_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("v_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

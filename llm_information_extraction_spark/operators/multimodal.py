@@ -1,0 +1,224 @@
+"""Multimodal-column plumbing: media as opaque binary + typed metadata.
+
+The reference's documents interleave text with extracted-table media
+(``data/raw/dementia_data/.../tables/table_NNN.csv`` +
+``table_NNN_info.json`` — SURVEY §1.1c). At 100 TB the same pattern
+covers images/audio/video: an opaque ``binary`` payload column plus a
+typed metadata struct, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+This module makes the **Spark-side plumbing real and tested** — schema,
+partitioning, UDF signatures, batch shapes — while the codec itself is a
+deterministic fake (this container ships no image/audio libraries):
+``_decode_payload`` interprets the payload bytes as a uint8 buffer and
+"decodes" it into a (h, w) byte grid. Swapping in Pillow/librosa later
+changes ONE function; everything around it (schemas, batching,
+projection pruning of the heavy binary column) is production shape.
+
+A real decode for an unsupported codec raises NotImplementedError, which
+surfaces per-row in the ``error`` column rather than killing the job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video | table
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+        StructField("mean_intensity", DoubleType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+_SUPPORTED_CODECS = {"raw8"}  # the deterministic fake codec
+
+
+def synth_media(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic fake media table bound to doc ids (raw8 codec)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                rng = np.random.default_rng((seed << 34) ^ (int(i) + 1))
+                kind = ["image", "audio", "video", "table"][int(i) % 4]
+                w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+                frames = int(rng.integers(2, 6)) if kind == "video" else 1
+                payload = rng.integers(
+                    0, 256, size=w * h * frames, dtype=np.uint8
+                ).tobytes()
+                rows.append(
+                    {
+                        "media_id": f"med_{i:07d}",
+                        "doc_id": f"doc_{i % max(n // 2, 1):09d}",
+                        "kind": kind,
+                        "payload": payload,
+                        "width": w,
+                        "height": h,
+                        "n_frames": frames,
+                        "codec": "raw8",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def _decode_payload(
+    payload: bytes, codec: str, width: int, height: int, n_frames: int
+) -> np.ndarray:
+    """STUB codec boundary. raw8 = uint8 (frames, h, w) grid.
+
+    Real image/audio decoding is NotImplemented in this container —
+    callers see the error per-row.
+    """
+    if codec not in _SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r}: no decoder in this build")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return arr.reshape(n_frames, height, width)
+
+
+def extract_media_features(
+    media: DataFrame, n_bins: int = 16, frame_stride: int = 2
+) -> DataFrame:
+    """media → per-item feature vector (byte histogram) + mean intensity.
+
+    Shape-of-production details exercised here:
+    - the binary column is projected *into* the UDF only (column pruning
+      keeps it out of every other stage);
+    - videos are frame-sampled with ``frame_stride`` before featurizing;
+    - per-row decode failures land in ``error`` instead of failing the
+      task (poison-pill tolerance).
+    """
+    src = media.select(
+        "media_id", "kind", "payload", "width", "height", "n_frames", "codec"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    grid = _decode_payload(
+                        r.payload, r.codec, r.width, r.height, r.n_frames
+                    )
+                    if r.kind == "video":
+                        grid = grid[::frame_stride]
+                    hist, _ = np.histogram(grid, bins=n_bins, range=(0, 256))
+                    total = hist.sum()
+                    feats = (hist / total if total else hist).astype(float)
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "kind": r.kind,
+                            "features": feats.tolist(),
+                            "mean_intensity": float(grid.mean()),
+                            "error": None,
+                        }
+                    )
+                except NotImplementedError as e:
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "kind": r.kind,
+                            "features": None,
+                            "mean_intensity": None,
+                            "error": str(e),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of raw8 payloads (real resampling math on
+    the fake codec; swap the kernel for a real library later)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    grid = _decode_payload(
+                        r.payload, r.codec, r.width, r.height, r.n_frames
+                    )
+                    ys = (np.arange(out_h) * grid.shape[1] / out_h).astype(int)
+                    xs = (np.arange(out_w) * grid.shape[2] / out_w).astype(int)
+                    resized = grid[:, ys][:, :, xs]
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "doc_id": r.doc_id,
+                            "kind": r.kind,
+                            "payload": resized.tobytes(),
+                            "width": out_w,
+                            "height": out_h,
+                            "n_frames": r.n_frames,
+                            "codec": r.codec,
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "doc_id": r.doc_id,
+                            "kind": r.kind,
+                            "payload": r.payload,
+                            "width": r.width,
+                            "height": r.height,
+                            "n_frames": r.n_frames,
+                            "codec": r.codec,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-expression metadata rollup — proves the heavy payload column
+    is prunable: this plan never reads ``payload`` (check ReadSchema)."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k for one query vector:
+  one scan, JVM-side dot products (``zip_with``/``aggregate``), global
+  top-k via ``orderBy(...).limit(k)`` (Spark executes TakeOrderedAndProject
+  — per-partition heaps, no full sort).
+- :func:`cosine_topk_join` — top-k neighbors for a *set* of queries:
+  broadcast the queries, per-partition scoring, window rank. Queries must
+  be small (they are broadcast).
+- :func:`rp_lsh_buckets` / :func:`rp_lsh_near_dup_pairs` — the scale path:
+  random-hyperplane (sign) LSH buckets computed with a seeded
+  deterministic pseudo-random matrix derived from xxhash64, so bucketing
+  needs no driver-side randomness and is reproducible across runs
+  (Charikar'02 SimHash-for-cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import cosine_sim
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to ``query``.
+
+    Returns (id, cosine) ordered desc, deterministic tiebreak by id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine_sim(_as_double_array(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+
+def cosine_topk_join(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """For every query row, its exact top-k items by cosine.
+
+    Broadcast-nested-loop over a *small* query set: shuffle-free scoring,
+    then a per-query window top-k. Returns (query_id, id, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            _as_double_array(query_vec).alias("q_vec"),
+        )
+    )
+    scored = items.select(
+        F.col(item_id).alias("id"), _as_double_array(item_vec).alias("v")
+    ).crossJoin(q).select(
+        "query_id",
+        "id",
+        cosine_sim(F.col("v"), F.col("q_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _seeded_hyperplane(dim: int, plane: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane as a literal array.
+
+    Components derive from a splitmix-style integer hash of
+    (seed, plane, i) mapped to [-1, 1] — identical on every executor
+    without shipping numpy state.
+    """
+
+    def h(i: int) -> float:
+        x = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        return (x / 2**64) * 2.0 - 1.0
+
+    return F.array(*[F.lit(h(i)) for i in range(dim)])
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket) where bucket = sign pattern across ``num_planes``
+    random hyperplanes. Vectors in the same bucket are cosine-close with
+    high probability; bucket key is a bigint (≤ 63 planes)."""
+    v = _as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = _seeded_hyperplane(dim, p, seed)
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def rp_lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: bucket join → exact verify.
+
+    Same output contract as dedup.embedding_near_dup_pairs but the join
+    is on the LSH bucket instead of a cross join — the 100-TB path.
+    Recall < 1 by construction (raise recall with multiple bucket tables:
+    re-run with different seeds and union).
+    """
+    b = rp_lsh_buckets(df, dim, num_planes, id_col, vec_col, seed)
+    src = df.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
+    ).join(b, "id")
+    a = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    c = src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

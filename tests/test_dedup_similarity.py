@@ -1,0 +1,214 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests.
+
+Runs over the driver's read-only testdata (TESTDATA.md) plus small
+hand-built corpora with known duplicate structure.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_information_extraction_spark.functions.textmetrics import (
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from llm_information_extraction_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_duplicate_groups,
+    hamming64,
+    minhash_dedup_groups,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from llm_information_extraction_spark.operators.multimodal import (
+    extract_media_features,
+    media_stats,
+    resize_media,
+    synth_media,
+)
+from llm_information_extraction_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_join,
+    rp_lsh_near_dup_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                   # exact dup of 1
+        (3, BASE.replace("warm", "cold")),           # near dup of 1
+        (4, "completely different text about spark sql shuffle partitions"),
+        (5, "  THE   quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing in the garden "),
+        # normalized-exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(dup_corpus):
+    groups = exact_duplicate_groups(dup_corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 5]
+    assert groups[0]["keep_id"] == 1
+    kept = {r["doc_id"] for r in exact_dedup(dup_corpus).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_ngram_jaccard_pairs(dup_corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 5)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_minhash_dedup_groups(dup_corpus):
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups(dup_corpus, threshold=0.5).collect()
+    }
+    # 1,2,5 exact-identical signatures; 3 near-dup joins the cluster
+    assert got["1"] == got["2"] == got["5"] == got["3"]
+    assert "4" not in got
+
+
+def test_simhash_near_dups(dup_corpus):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in dup_corpus.select(
+            "doc_id", simhash64("text").alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(dup_corpus, max_hamming=12).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word edit stays within the budget
+    assert all(4 not in p for p in pairs)
+
+
+def test_embedding_near_dup_and_lsh(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=8)
+    rows = [
+        (1, (base / np.linalg.norm(base)).tolist()),
+        (2, (base / np.linalg.norm(base) * 3.0).tolist()),   # same direction
+        (3, (base + rng.normal(scale=0.01, size=8)).tolist()),  # tiny noise
+        (4, rng.normal(size=8).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    assert (1, 2) in exact and (1, 3) in exact and (2, 3) in exact
+    assert all(4 not in p for p in exact)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_near_dup_pairs(df, dim=8, threshold=0.99, num_planes=8).collect()
+    }
+    # LSH must find the identical-direction pair (same bucket guaranteed)
+    assert (1, 2) in approx
+    assert approx <= exact  # no false positives (exact verify step)
+
+
+def test_cosine_topk_on_testdata(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    got = cosine_topk(emb, list(first["embedding"]), k=5).collect()
+    assert got[0]["id"] == first["vec_id"]  # self is nearest
+    assert got[0]["cosine"] == pytest.approx(1.0)
+    sims = [r["cosine"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_topk_join(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_join(emb, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for qid, rows in by_q.items():
+        assert len(rows) == 4
+        assert rows[0]["id"] == qid  # rank 1 is self
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4]
+
+
+def test_text_metrics_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("tokens"),
+        quality_score("text").alias("quality"),
+        detect_lang("text").alias("lang"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert all(r["tokens"] > 0 for r in out)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert all(len(r["fp"]) == 32 for r in out)
+    langs = {r["lang"] for r in out}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_detect_lang_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat in the house for a while",),
+            ("der hund und die katze sind nicht in das haus",),
+            ("le chat et les oiseaux dans le jardin est une",),
+            ("xyzzy plugh 12345",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(detect_lang("text")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_multimodal_pipeline(spark):
+    media = synth_media(spark, 40, seed=1).cache()
+    feats = extract_media_features(media).cache()
+    ok = feats.filter(F.col("error").isNull())
+    assert ok.count() == 40
+    row = ok.first()
+    assert len(row["features"]) == 16
+    assert abs(sum(row["features"]) - 1.0) < 1e-9
+    assert 0 <= row["mean_intensity"] <= 255
+
+    resized = resize_media(media, 8, 8)
+    sizes = resized.select(
+        "media_id", F.length("payload").alias("nbytes"), "n_frames"
+    ).collect()
+    for r in sizes:
+        assert r["nbytes"] == 8 * 8 * r["n_frames"]
+
+    stats = {r["kind"]: r["n_items"] for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 40
+
+
+def test_multimodal_unknown_codec_lands_in_error(spark):
+    media = synth_media(spark, 4, seed=2).withColumn("codec", F.lit("jpeg"))
+    feats = extract_media_features(media).collect()
+    assert all(r["error"] is not None and "jpeg" in r["error"] for r in feats)
+    assert all(r["features"] is None for r in feats)
