@@ -122,22 +122,52 @@ def ngram_jaccard_pairs(
 def minhash_signature(
     shingles: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """array<bigint> MinHash signature, fully JVM-side, single pass.
+    """array<bigint> MinHash signature as a per-row column expression.
 
-    h_i(S) = min over shingles of xxhash64(shingle, seed+i); computed as
-    one ``aggregate`` with an array accumulator (acc[i] = running min),
-    i.e. one linear scan of the shingle set regardless of num_hashes.
+    h_i(S) = min over shingles of xxhash64(xxhash64(shingle), seed+i) —
+    one base hash per shingle, then ``num_hashes`` cheap re-hashes
+    (overflow-free under ANSI mode, unlike an affine family). Prefer
+    :func:`minhash_signatures` (explode + groupBy) on large corpora: it
+    runs in whole-stage codegen with map-side partial aggregation,
+    whereas array higher-order functions are interpreted per element.
     """
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
     seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
     return F.aggregate(
-        shingles,
+        hashes,
         init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(s, i)),
-            lambda m, h: F.least(m, h),
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) via explode → hash → 64 min-aggregates.
+
+    The whole computation is codegen'd: one shuffle keyed by id with
+    map-side combine (each partition pre-reduces to one row per id).
+    Same hash family as :func:`minhash_signature`.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -157,10 +187,7 @@ def minhash_candidate_pairs(
     Jaccard j collides: 1-(1-j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, n), num_hashes, seed).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     banded = sig.select(
         "id",
         F.explode(
@@ -269,6 +296,41 @@ def simhash64(col: Column | str, n: int = 2) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(id, sig bigint) via explode → hash → 64 sum-aggregates → pack.
+
+    Same signature values as :func:`simhash64` (same shingles, same
+    xxhash64 bits) but codegen-friendly: bit b is set iff
+    Σ bit_b(h) * 2 > n_shingles (i.e. the ±1 sum is ≥ 0; ties → set,
+    matching ``sum*2 - count >= 0``).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("cnt")] + [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1).cast("long"))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = exploded.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        mask = F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 >= F.col("cnt"), mask).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("id", sig.alias("sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -291,9 +353,7 @@ def simhash_near_dup_pairs(
     n_bands = min(max_hamming + 1, 32)
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, n).alias("sig")
-    )
+    sig = simhash_signatures(df, id_col, text_col, n)
     banded = sig.select(
         "id",
         "sig",

@@ -127,6 +127,90 @@ def rp_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    The scalable exact path: vectors are hashed into ``num_blocks``
+    groups; every block *pair* (B(B+1)/2 tasks) receives two dense
+    matrices and runs one numpy matmul in a mapInPandas stage. Same
+    output contract as dedup.embedding_near_dup_pairs; Arrow moves each
+    vector B times instead of n times (cross join), and the O(n²·d) flops
+    run in BLAS instead of interpreted expression lambdas.
+
+    Choose num_blocks ≈ sqrt(n·d·8 / 64MB) so a block pair fits in task
+    memory.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType() if id_type == "bigint" else df.schema[id_col].dataType, False),
+            StructField("id_b", LongType() if id_type == "bigint" else df.schema[id_col].dataType, False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    blocks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _as_double_array(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
+        )
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    pairs = (
+        blocks.alias("x")
+        .crossJoin(blocks.alias("y"))
+        .filter(F.col("x.block") <= F.col("y.block"))
+        .select(
+            F.col("x.block").alias("block_a"),
+            F.col("y.block").alias("block_b"),
+            F.col("x.items").alias("items_a"),
+            F.col("y.items").alias("items_b"),
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for r in pdf.itertuples(index=False):
+                ids_a = np.array([it["id"] for it in r.items_a])
+                ids_b = np.array([it["id"] for it in r.items_b])
+                ma = np.array([it["v"] for it in r.items_a], dtype=np.float64)
+                mb = np.array([it["v"] for it in r.items_b], dtype=np.float64)
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+                ii, jj = np.where(sims >= threshold)
+                for i, j in zip(ii, jj):
+                    a, b = ids_a[i], ids_b[j]
+                    if a < b:
+                        out_a.append(a); out_b.append(b); out_c.append(sims[i, j])
+                    elif b < a:
+                        out_a.append(b); out_b.append(a); out_c.append(sims[i, j])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return pairs.mapInPandas(run, schema=out_schema).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 def rp_lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,

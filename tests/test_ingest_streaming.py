@@ -1,0 +1,94 @@
+"""Ingest (S1-S3, J1) and streaming-parity tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_information_extraction_spark.operators.extraction import extract_triples
+from llm_information_extraction_spark.operators.linking import (
+    link_mentions,
+    vocabulary_df,
+)
+from llm_information_extraction_spark.operators.payload import build_payload
+from llm_information_extraction_spark.sources.ingest import (
+    flat_papers,
+    load_json_corpus,
+    validated_one_to_one_join,
+)
+from llm_information_extraction_spark.sources.synthetic import generate_documents
+from llm_information_extraction_spark.streaming.incremental import (
+    incremental_triples,
+)
+
+
+def test_load_json_corpus_orders_and_normalizes(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    papers = [
+        ("03_333.json", {"metadata": {"PMID": "333", "title": "c"}, "body": "z"}),
+        ("01_111.json", {"pmcid": "PMC111", "title": "a", "body": "x"}),
+        ("02_222.json", {"title": "b", "body": "y"}),  # PMID from filename
+    ]
+    for name, payload in papers:
+        (corpus / name).write_text(json.dumps(payload))
+    df = load_json_corpus(spark, str(corpus))
+    rows = df.select("PMID").collect()
+    assert [r["PMID"] for r in rows] == ["111", "222", "333"]
+
+
+def test_flat_papers_coalesce(spark, tmp_path):
+    corpus = tmp_path / "c2"
+    corpus.mkdir()
+    (corpus / "01_9.json").write_text(
+        json.dumps(
+            {
+                "metadata": {"PMID": "9", "title": "meta title"},
+                "title": "top title",
+                "abstract": "abs",
+                "body": "b",
+            }
+        )
+    )
+    flat = flat_papers(load_json_corpus(spark, str(corpus))).collect()[0]
+    assert flat["doc_id"] == "9"
+    assert flat["title"] == "meta title"  # metadata wins (main.py:57-61)
+    assert flat["keywords"] == ""  # missing → ''
+
+
+def test_validated_one_to_one_join(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, va string")
+    b = spark.createDataFrame([(1, "p")], "k int, vb string")
+    out = validated_one_to_one_join(a, b, "k").orderBy("k").collect()
+    assert [r["vb"] for r in out] == ["p", None]
+    b_dup = spark.createDataFrame([(1, "p"), (1, "q")], "k int, vb string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        validated_one_to_one_join(a, b_dup, "k")
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    docs = generate_documents(spark, 80, seed=21)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = incremental_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    batch = link_mentions(
+        extract_triples(build_payload(spark.read.parquet(in_dir))),
+        vocabulary_df(spark),
+    )
+    streamed = spark.read.parquet(out_dir).drop("batch_id")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # restart with same checkpoint: no files left → no duplicate output
+    n_before = streamed.count()
+    q2 = incremental_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
