@@ -16,9 +16,7 @@ Everything is normalized with the reference's ``normalize_text`` semantics
 
 from __future__ import annotations
 
-from pathlib import Path
-
-_DATA = Path(__file__).parent / "data"
+from importlib import resources
 
 #: the 15 extraction fields — the triple `pred` domain
 #: (reference output schema, brain_extraction.py:12-27)
@@ -45,11 +43,10 @@ BINARY_FIELDS = ["DTI_study", "Human_study", "Dementia_study"]
 
 
 def _load_list(name: str) -> list[str]:
-    return [
-        line.strip()
-        for line in (_DATA / name).read_text().splitlines()
-        if line.strip()
-    ]
+    # importlib.resources (not Path) so the package also works zipped
+    # into spark-submit --py-files archives on executors
+    text = resources.files(__package__).joinpath("data", name).read_text()
+    return [line.strip() for line in text.splitlines() if line.strip()]
 
 
 def tract_surface_forms() -> list[str]:
