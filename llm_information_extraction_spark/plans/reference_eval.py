@@ -179,3 +179,36 @@ def evaluate_reference_csvs(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def evaluate_wmt_only(
+    spark: SparkSession, gold_path: str, pred_path: str
+) -> float:
+    """WMT-only micro-F1 (evaluation_lut.py:130-198): no normalization
+    pre-pass — raw gold column → clean_split + canonicalize, raw pred →
+    clean_split, semantic matching at 0.95, SKIP_EMPTY_GOLD, micro-F1.
+
+    Returns the float; the parity test compares it against the
+    full-precision values in data/processed/f1_wmt_lut_comparison.csv.
+    """
+    gold = _read_positional(spark, gold_path, "g")
+    pred = _read_positional(spark, pred_path, "p")
+    if gold.count() != pred.count():
+        raise AssertionError("Row count mismatch")
+    cmap = CANON_MAPS["whitematter_tracts"]
+    df = gold.select(
+        "__rn", gold["What tracts were studied?"].alias("gt")
+    ).join(
+        pred.select(
+            F.col("__rn").alias("__rn_p"),
+            pred["whitematter_tracts"].alias("pr"),
+        ),
+        F.col("__rn") == F.col("__rn_p"),
+    )
+    pair = df.select(
+        canonicalize_array(clean_split(F.col("gt")), cmap).alias("gold"),
+        clean_split(F.col("pr")).alias("pred"),
+    )
+    pair = apply_semantic_matching(pair)
+    m = multilabel_metrics(pair, skip_empty_gold=True).collect()[0]
+    return float(m["micro_f1"])

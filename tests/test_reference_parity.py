@@ -57,6 +57,32 @@ def test_reproduces_published_f1(spark, pred_path, label):
         assert f1 == pytest.approx(want[key], abs=5e-4), (key, f1, want[key])
 
 
+def test_wmt_lut_comparison_bit_exact(spark):
+    """All four conditions of evaluation_lut.py (GPT-4/5 × LUT/no-LUT)
+    must reproduce data/processed/f1_wmt_lut_comparison.csv to full float
+    precision — the strongest parity check we have."""
+    from llm_information_extraction_spark.plans.reference_eval import (
+        evaluate_wmt_only,
+    )
+
+    published = {}
+    with open(REF / "data/processed/f1_wmt_lut_comparison.csv") as f:
+        for r in csv.DictReader(f):
+            published[(r["model"], r["condition"])] = float(r["wmt_f1"])
+
+    files = {
+        ("GPT-4", "No LUT"): "whitematter_no_lut_predicted_data_GPT_4o_mini.csv",
+        ("GPT-4", "With LUT"): "whitematter_full_predicted_data_GPT_4o_mini_data.csv",
+        ("GPT-5", "No LUT"): "whitematter_no_lut_predicted_data_GPT_5_mini.csv",
+        ("GPT-5", "With LUT"): "whitematter_full_predicted_data_GPT_5_mini.csv",
+    }
+    for key, fname in files.items():
+        got = evaluate_wmt_only(
+            spark, str(GOLD), str(REF / "data/processed" / fname)
+        )
+        assert got == pytest.approx(published[key], abs=1e-12), (key, got)
+
+
 def test_row_count_assertion(spark, tmp_path):
     short = tmp_path / "short.csv"
     short.write_text("PMID,whitematter_tracts\n1,corpus callosum\n")
