@@ -292,6 +292,41 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def macro_f1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-wise macro F1 (A3): per-label P/R/F1 over the event label
+    sets, zero-support labels skipped, unweighted mean."""
+    j = _event_label_sets(spark, sf_dir)
+    gold_l = j.select("user_id", F.explode("gold").alias("label"))
+    pred_l = j.select("user_id", F.explode("pred").alias("label"))
+    tp = gold_l.join(pred_l, ["user_id", "label"]).groupBy("label").count()
+    fp = pred_l.join(gold_l, ["user_id", "label"], "left_anti").groupBy("label").count()
+    fn = gold_l.join(pred_l, ["user_id", "label"], "left_anti").groupBy("label").count()
+    per = (
+        tp.withColumnRenamed("count", "tp")
+        .join(fp.withColumnRenamed("count", "fp"), "label", "full")
+        .join(fn.withColumnRenamed("count", "fn"), "label", "full")
+        .fillna(0, ["tp", "fp", "fn"])
+    )
+    f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    return per.filter(F.col("tp") + F.col("fp") + F.col("fn") > 0).agg(
+        F.round(F.avg(f1), 6).alias("macro_f1"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+
+
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field×model-style pivot (A10): avg value per user-bucket × type."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    out = (
+        e.groupBy("bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -333,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samples_jaccard_subset": samples_jaccard_subset,
         "binary_metrics_events": binary_metrics_events,
         "category_distribution_docs": category_distribution_docs,
+        "macro_f1_events": macro_f1_events,
+        "event_value_pivot": event_value_pivot,
         # training-data ops
         "exact_unique_docs": exact_unique_docs,
         "word_jaccard_pairs": word_jaccard_pairs,
@@ -489,6 +526,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT category, n,
                    round(n * 100.0 / (SELECT sum(n) FROM counts), 6) AS pct
             FROM counts
+        """,
+        "macro_f1_events": """
+            WITH g AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE event_id % 2 = 0),
+                 p AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE event_id % 2 = 1
+                         AND user_id IN (SELECT user_id FROM g)),
+                 tp AS (SELECT event_type AS label, count(*) AS tp FROM g
+                        JOIN p USING (user_id, event_type)
+                        GROUP BY event_type),
+                 fp AS (SELECT event_type AS label, count(*) AS fp FROM p
+                        ANTI JOIN g USING (user_id, event_type)
+                        GROUP BY event_type),
+                 fn AS (SELECT event_type AS label, count(*) AS fn FROM g
+                        ANTI JOIN p USING (user_id, event_type)
+                        GROUP BY event_type),
+                 labels AS (SELECT label FROM tp UNION
+                            SELECT label FROM fp UNION
+                            SELECT label FROM fn),
+                 per AS (
+                   SELECT l.label, coalesce(tp.tp, 0) AS tp,
+                          coalesce(fp.fp, 0) AS fp, coalesce(fn.fn, 0) AS fn
+                   FROM labels l LEFT JOIN tp USING (label)
+                        LEFT JOIN fp USING (label) LEFT JOIN fn USING (label))
+            SELECT round(avg(2.0 * tp / (2 * tp + fp + fn)), 6) AS macro_f1,
+                   count(*) AS n_labels
+            FROM per
+            WHERE tp + fp + fn > 0
+        """,
+        "event_value_pivot": """
+            SELECT CAST(user_id % 4 AS INTEGER) AS bucket,
+                   round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+                       AS click,
+                   round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+                       AS error,
+                   round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6)
+                       AS purchase,
+                   round(avg(CASE WHEN event_type = 'signup' THEN value END), 6)
+                       AS signup,
+                   round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+                       AS view
+            FROM events
+            GROUP BY 1
         """,
         "exact_unique_docs": f"""
             SELECT count(DISTINCT md5({norm})) AS n_unique,
