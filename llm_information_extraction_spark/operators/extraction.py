@@ -69,25 +69,52 @@ _GAZETTEER_FIELDS = [
 ]
 
 
-def _compile_field_regexes() -> dict[str, re.Pattern]:
-    """One alternation regex per field, longest surface first.
+def _trie_pattern(words: list[str]) -> str:
+    """Compile a literal word list into a prefix-trie regex.
 
-    Longest-first alternation gives leftmost-longest matching in Python's
-    ``re`` (first alternative wins at each position), so
-    "corpus callosum - genu" is matched whole rather than as
-    "corpus callosum". Lookarounds enforce token boundaries without
-    consuming, so adjacent matches still work.
+    A flat 300-alternative alternation makes ``re`` try each alternative
+    at every position (O(vocab) per char); the trie form shares prefixes
+    so the scan is near O(1) per char (a standard public technique).
+    Longest-match-wins is preserved: continuations are emitted as GREEDY
+    optional groups, so "corpus callosum - genu" is consumed whole and
+    only backtracks to the shorter "corpus callosum" if the longer form
+    fails.
     """
+    trie: dict = {}
+    for w in sorted(set(words)):
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node["\0"] = {}  # terminal marker
+
+    def build(node: dict) -> str:
+        has_end = "\0" in node
+        alts = [
+            re.escape(ch) + build(sub)
+            for ch, sub in sorted(node.items())
+            if ch != "\0"
+        ]
+        if not alts:
+            return ""
+        if has_end:
+            # greedy '?': try the longer continuation first, fall back to
+            # the terminal (shorter) match only if it fails
+            return "(?:" + "|".join(alts) + ")?"
+        return alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+
+    return build(trie)
+
+
+def _compile_field_regexes() -> dict[str, re.Pattern]:
+    """One trie-compiled regex per field, with token-boundary lookarounds
+    (non-consuming, so adjacent matches still work)."""
     by_field: dict[str, list[str]] = {f: [] for f in _GAZETTEER_FIELDS}
     for field, surface, _canon in vocab.gazetteer_rows():
         if field in by_field:
             by_field[field].append(surface)
     out = {}
     for field, surfaces in by_field.items():
-        alts = sorted(set(surfaces), key=len, reverse=True)
-        pattern = (
-            r"(?<![a-z0-9])(?:" + "|".join(re.escape(s) for s in alts) + r")(?![a-z0-9])"
-        )
+        pattern = r"(?<![a-z0-9])" + _trie_pattern(surfaces) + r"(?![a-z0-9])"
         out[field] = re.compile(pattern)
     return out
 
@@ -96,6 +123,36 @@ def _compile_field_regexes() -> dict[str, re.Pattern]:
 def _cached_regexes() -> dict[str, re.Pattern]:
     # compiled once per executor process, reused across tasks/batches
     return _compile_field_regexes()
+
+
+@lru_cache(maxsize=1)
+def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
+    """One union trie over every field's vocabulary + surface→fields map.
+
+    A single linear scan replaces the 10 per-field scans. Equivalent to
+    per-field scanning because (audited + tested) the only cross-field
+    surface overlaps are Disease_study ↔ patient_groups, which share the
+    identical disease vocabulary — the union's longest match resolves to
+    the same surface either way, and the map fans it out to both fields.
+    """
+    surf2fields: dict[str, list[str]] = {}
+    for field, surface, _canon in vocab.gazetteer_rows():
+        if field in _GAZETTEER_FIELDS:
+            surf2fields.setdefault(surface, []).append(field)
+    pattern = re.compile(
+        r"(?<![a-z0-9])" + _trie_pattern(list(surf2fields)) + r"(?![a-z0-9])"
+    )
+    return pattern, {s: tuple(fs) for s, fs in surf2fields.items()}
+
+
+@lru_cache(maxsize=1)
+def _cached_rule_regexes() -> dict[str, re.Pattern]:
+    """Single-pass substring rules (animal / review / single-study)."""
+    return {
+        "animal": re.compile(_trie_pattern(vocab.ANIMAL_MARKERS)),
+        "review": re.compile(_trie_pattern(vocab.REVIEW_MARKERS)),
+        "single": re.compile(re.escape("single study")),
+    }
 
 
 _WS = re.compile(r"\s+")
@@ -108,68 +165,67 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     )
 
 
+def _field_matches(text: str) -> dict[str, list[str]]:
+    """Per-field surface matches from ONE combined trie scan."""
+    rx, surf2fields = _cached_combined()
+    out: dict[str, list[str]] = {}
+    for m in rx.finditer(text):
+        s = m.group(0)
+        for field in surf2fields[s]:
+            out.setdefault(field, []).append(s)
+    return out
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    regexes = _cached_regexes()
-    texts = _normalize_series(pdf["payload"])
-    doc_ids = pdf["doc_id"].astype(str)
+    rules = _cached_rule_regexes()
+    texts = _normalize_series(pdf["payload"]).tolist()
+    doc_ids = pdf["doc_id"].astype(str).tolist()
 
     out_doc: list[str] = []
     out_pred: list[str] = []
     out_obj: list[str] = []
 
-    # vectorized substring flags for rule fields
-    def contains_any(markers: list[str]) -> pd.Series:
-        flag = pd.Series(False, index=texts.index)
-        for m in markers:
-            flag |= texts.str.contains(m, regex=False)
-        return flag
+    # one combined trie scan + three rule scans per doc; the row loop
+    # below never touches pandas
+    matches = [_field_matches(t) for t in texts]
+    is_animal = [rules["animal"].search(t) is not None for t in texts]
+    is_review = [rules["review"].search(t) is not None for t in texts]
+    is_single = [rules["single"].search(t) is not None for t in texts]
 
-    is_animal = contains_any(vocab.ANIMAL_MARKERS)
-    is_review = contains_any(vocab.REVIEW_MARKERS)
-    is_single = texts.str.contains("single study", regex=False)
-
-    # per-field gazetteer scans (pandas str.findall = one pass per field)
-    matches: dict[str, pd.Series] = {
-        field: texts.str.findall(rx) for field, rx in regexes.items()
-    }
-
-    for i in texts.index:
-        doc = doc_ids[i]
+    _EMPTY: list[str] = []
+    for i, (doc, text) in enumerate(zip(doc_ids, texts)):
         triples: set[tuple[str, str]] = set()
+        emit = triples.add
 
-        def emit(pred: str, obj: str) -> None:
-            triples.add((pred, obj))
-
-        animal, review = bool(is_animal[i]), bool(is_review[i])
-        for field in _GAZETTEER_FIELDS:
-            vals = matches[field][i]
+        animal, review = is_animal[i], is_review[i]
+        doc_matches = matches[i]
+        for field, vals in doc_matches.items():
             if field == "whitematter_tracts" and (animal or review):
                 continue  # pre-filter: MUST return [] (brain_extraction.py:35)
             for v in vals:
-                emit(field, v)
+                emit((field, v))
 
-        diseases = set(matches["Disease_study"][i])
-        modalities = set(matches["imaging_modalities"][i])
-        subjects = set(matches["subjects"][i])
+        diseases = set(doc_matches.get("Disease_study", _EMPTY))
+        modalities = set(doc_matches.get("imaging_modalities", _EMPTY))
+        subjects = set(doc_matches.get("subjects", _EMPTY))
 
         # yes/no fields — default ["no"] (brain_extraction.py:55)
-        emit("DTI_study", "yes" if modalities & DIFFUSION_MODALITIES else "no")
-        emit(
+        emit(("DTI_study", "yes" if modalities & DIFFUSION_MODALITIES else "no"))
+        emit((
             "Human_study",
             "yes" if ("humans" in subjects and not animal) else "no",
-        )
-        emit("Dementia_study", "yes" if diseases else "no")
+        ))
+        emit(("Dementia_study", "yes" if diseases else "no"))
 
         if review:
-            emit("study_type", "review")
-        elif bool(is_single[i]):
-            emit("study_type", "single study")
+            emit(("study_type", "review"))
+        elif is_single[i]:
+            emit(("study_type", "single study"))
 
-        text = texts[i]
         for d in diseases:
             phrase = f"{d} patients vs controls"
             if phrase in text:
-                emit("question_of_study", phrase)
+                emit(("question_of_study", phrase))
 
         for pred, obj in sorted(triples):
             out_doc.append(doc)
