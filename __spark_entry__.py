@@ -292,6 +292,40 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def label_space_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: sorted distinct label space (evaluation_gpt4_vs_gpt5.py:163)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_type").distinct().orderBy("event_type")
+
+
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + decimal-exact revenue rollup + deterministic top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(part), rev["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(15)
+    )
+
+
 def macro_f1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-wise macro F1 (A3): per-label P/R/F1 over the event label
     sets, zero-support labels skipped, unweighted mean."""
@@ -368,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samples_jaccard_subset": samples_jaccard_subset,
         "binary_metrics_events": binary_metrics_events,
         "category_distribution_docs": category_distribution_docs,
+        "label_space_sorted": label_space_sorted,
+        "top_parts_by_revenue": top_parts_by_revenue,
         "macro_f1_events": macro_f1_events,
         "event_value_pivot": event_value_pivot,
         # training-data ops
@@ -526,6 +562,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT category, n,
                    round(n * 100.0 / (SELECT sum(n) FROM counts), 6) AS pct
             FROM counts
+        """,
+        "label_space_sorted": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "top_parts_by_revenue": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS rev_dec,
+                     count(*) AS n_items
+              FROM lineitem GROUP BY l_partkey)
+            SELECT p_partkey, p_name,
+                   round(CAST(rev_dec AS DOUBLE), 2) AS revenue, n_items
+            FROM rev JOIN part ON l_partkey = p_partkey
+            ORDER BY revenue DESC, p_partkey ASC
+            LIMIT 15
         """,
         "macro_f1_events": """
             WITH g AS (SELECT DISTINCT user_id, event_type FROM events

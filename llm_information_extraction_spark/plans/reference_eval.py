@@ -181,6 +181,23 @@ def evaluate_reference_csvs(
     return out
 
 
+def wmt_category_distribution(
+    spark: SparkSession, pred_path: str
+) -> DataFrame:
+    """NA/Global/Specific % breakdown of a prediction CSV's
+    whitematter_tracts column (compute_distribution,
+    whitematter_distributions.py:72-91)."""
+    from ..operators.evaluation import category_distribution
+
+    pred = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(pred_path)
+    )
+    return category_distribution(pred, "whitematter_tracts")
+
+
 def evaluate_wmt_only(
     spark: SparkSession, gold_path: str, pred_path: str
 ) -> float:

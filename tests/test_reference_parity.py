@@ -83,6 +83,22 @@ def test_wmt_lut_comparison_bit_exact(spark):
         assert got == pytest.approx(published[key], abs=1e-12), (key, got)
 
 
+def test_wmt_distribution_on_reference_predictions(spark):
+    """A8 distribution over a real prediction CSV: categories are valid
+    and percentages sum to 100 (the reference publishes only charts for
+    this pipeline, so the check is structural)."""
+    from llm_information_extraction_spark.plans.reference_eval import (
+        wmt_category_distribution,
+    )
+
+    rows = wmt_category_distribution(spark, str(PRED_FULL)).collect()
+    cats = {r["category"] for r in rows}
+    assert cats <= {"NA", "Global", "Specific"}
+    assert "Specific" in cats
+    assert sum(r["pct"] for r in rows) == pytest.approx(100.0)
+    assert sum(r["n"] for r in rows) == 622
+
+
 def test_row_count_assertion(spark, tmp_path):
     short = tmp_path / "short.csv"
     short.write_text("PMID,whitematter_tracts\n1,corpus callosum\n")
