@@ -99,6 +99,33 @@ def connected_components(
     )
 
 
+def resolve_entity_ids(
+    triples: DataFrame, entities: DataFrame
+) -> DataFrame:
+    """Rewrite triple objects to entity ids (graph materialization step,
+    SURVEY §2.7): join canonical object → entities(entity_id) per field.
+
+    Non-vocabulary predicates (yes/no fields, free-text comparisons) keep
+    their object as-is with a null entity_id. Broadcast join — entities
+    is a dimension.
+    """
+    dim = F.broadcast(
+        entities.select(
+            F.col("field").alias("pred"),
+            F.col("canonical").alias("__canon"),
+            F.col("entity_id"),
+        ).dropDuplicates(["pred", "__canon"])
+    )
+    return (
+        triples.join(
+            dim,
+            (triples["pred"] == dim["pred"]) & (triples["obj"] == dim["__canon"]),
+            "left",
+        )
+        .select(triples["doc_id"], triples["pred"], triples["obj"], "entity_id")
+    )
+
+
 def build_entities(
     vocab_df: DataFrame,
     fuzzy_links: DataFrame | None = None,

@@ -50,6 +50,9 @@ class PipelineConfig:
     fuzzy: bool = False
     hot_entity_skew: float = 1.1
     oversized_doc_pct: float = 0.01
+    #: when set, documents are split into ≤N-span chunks before extraction
+    #: (bounds Arrow batch memory for oversized docs; operators/skew.py)
+    chunk_max_spans: int | None = None
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
@@ -130,7 +133,16 @@ class KGPipeline:
 
     def _run_mentions(self, docs: DataFrame) -> DataFrame:
         t0 = time.time()
-        mentions = extract_triples(build_payload(docs, mode=self.config.mode))
+        if self.config.chunk_max_spans:
+            from ..operators.skew import extract_chunked
+
+            mentions = extract_chunked(
+                docs, self.config.chunk_max_spans, mode=self.config.mode
+            )
+        else:
+            mentions = extract_triples(
+                build_payload(docs, mode=self.config.mode)
+            )
         return self._commit("mentions", mentions, t0)
 
     def _run_triples(self, mentions: DataFrame) -> DataFrame:

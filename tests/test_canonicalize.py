@@ -39,6 +39,30 @@ def test_self_loops_and_dups_ignored(spark):
     assert got == {"a": "a", "b": "a"}
 
 
+def test_resolve_entity_ids(spark):
+    from llm_information_extraction_spark.operators.canonicalize import (
+        resolve_entity_ids,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("d1", "whitematter_tracts", "superior longitudinal fasciculus"),
+            ("d1", "DTI_study", "yes"),
+        ],
+        "doc_id string, pred string, obj string",
+    )
+    entities = spark.createDataFrame(
+        [("slf", "whitematter_tracts", "superior longitudinal fasciculus",
+          ["slf", "superior longitudinal fasciculus"], 2)],
+        "entity_id string, field string, canonical string, "
+        "aliases array<string>, n_aliases int",
+    )
+    got = {(r["pred"], r["entity_id"]) for r in
+           resolve_entity_ids(triples, entities).collect()}
+    assert ("whitematter_tracts", "slf") in got
+    assert ("DTI_study", None) in got
+
+
 def test_build_entities_merges_aliases(spark):
     vdf = spark.createDataFrame(
         [

@@ -72,6 +72,18 @@ def test_crash_mid_write_invisible(spark, tmp_path):
     assert m["current"] == 0
 
 
+def test_chunked_pipeline_matches_unchunked(spark, tmp_path):
+    """chunk_max_spans bounds Arrow batches without changing triples."""
+    base = KGPipeline(spark, str(tmp_path / "w_nochunk"), CFG)
+    base.run(stop_after="triples")
+    chunked_cfg = PipelineConfig(n_docs=60, seed=11, chunk_max_spans=16)
+    chunked = KGPipeline(spark, str(tmp_path / "w_chunk"), chunked_cfg)
+    chunked.run(stop_after="triples")
+    assert _triples_set(chunked.read("triples")) == _triples_set(
+        base.read("triples")
+    )
+
+
 def test_lineage_recorded_per_partition(spark, tmp_path):
     wh = str(tmp_path / "w_lin")
     p = KGPipeline(spark, wh, CFG)
