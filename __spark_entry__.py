@@ -35,8 +35,6 @@ from llm_information_extraction_spark.functions.textmetrics import (
     token_count,
 )
 from llm_information_extraction_spark.operators.dedup import (
-    cosine_sim,
-    embedding_near_dup_pairs,
     minhash_dedup_groups,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,

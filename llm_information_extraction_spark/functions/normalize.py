@@ -67,7 +67,7 @@ def canonicalize_col(col: Column | str, cmap: dict[str, str]) -> Column:
     if not cmap:
         return norm
     m = F.create_map(*[F.lit(x) for kv in cmap.items() for x in kv])
-    return F.coalesce(m.getItem(norm), norm)
+    return F.coalesce(F.element_at(m, norm), norm)
 
 
 def canonicalize_array(col: Column | str, cmap: dict[str, str]) -> Column:
@@ -81,7 +81,7 @@ def canonicalize_array(col: Column | str, cmap: dict[str, str]) -> Column:
         return F.transform(kept, normalize_text)
     m = F.create_map(*[F.lit(x) for kv in cmap.items() for x in kv])
     return F.transform(
-        kept, lambda v: F.coalesce(m.getItem(normalize_text(v)), normalize_text(v))
+        kept, lambda v: F.coalesce(F.element_at(m, normalize_text(v)), normalize_text(v))
     )
 
 

@@ -76,7 +76,7 @@ def exact_canonicalize(mentions: DataFrame) -> DataFrame:
         m = F.create_map(*[F.lit(x) for kv in cmap.items() for x in kv])
         expr = F.when(
             F.col("pred") == field,
-            F.coalesce(m.getItem(normalize_text(F.col("obj"))), normalize_text(F.col("obj"))),
+            F.coalesce(F.element_at(m, normalize_text(F.col("obj"))), normalize_text(F.col("obj"))),
         ).otherwise(expr)
     return mentions.withColumn("obj", expr)
 
