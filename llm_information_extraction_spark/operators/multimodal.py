@@ -59,7 +59,10 @@ FEATURES_SCHEMA = StructType(
     ]
 )
 
-_SUPPORTED_CODECS = {"raw8"}  # the deterministic fake codec
+#: raw8 = deterministic fake pixel codec; csv = REAL table codec (the
+#: reference's actual media type: data/raw/dementia_data/**/tables/
+#: table_NNN.csv + table_NNN_info.json)
+_SUPPORTED_CODECS = {"raw8", "csv"}
 
 
 def synth_media(
@@ -76,9 +79,21 @@ def synth_media(
                 kind = ["image", "audio", "video", "table"][int(i) % 4]
                 w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
                 frames = int(rng.integers(2, 6)) if kind == "video" else 1
-                payload = rng.integers(
-                    0, 256, size=w * h * frames, dtype=np.uint8
-                ).tobytes()
+                if kind == "table":
+                    # real CSV payload, like the reference's extracted tables
+                    ncols = int(rng.integers(2, 5))
+                    header = ",".join(f"col{c}" for c in range(ncols))
+                    body = "\n".join(
+                        ",".join(str(int(rng.integers(0, 100))) for _ in range(ncols))
+                        for _ in range(int(rng.integers(2, 6)))
+                    )
+                    payload = f"{header}\n{body}".encode()
+                    codec, w, h = "csv", 0, 0
+                else:
+                    payload = rng.integers(
+                        0, 256, size=w * h * frames, dtype=np.uint8
+                    ).tobytes()
+                    codec = "raw8"
                 rows.append(
                     {
                         "media_id": f"med_{i:07d}",
@@ -88,7 +103,7 @@ def synth_media(
                         "width": w,
                         "height": h,
                         "n_frames": frames,
-                        "codec": "raw8",
+                        "codec": codec,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -101,15 +116,53 @@ def synth_media(
 def _decode_payload(
     payload: bytes, codec: str, width: int, height: int, n_frames: int
 ) -> np.ndarray:
-    """STUB codec boundary. raw8 = uint8 (frames, h, w) grid.
+    """STUB codec boundary for pixel grids. raw8 = uint8 (frames, h, w).
 
     Real image/audio decoding is NotImplemented in this container —
-    callers see the error per-row.
+    callers see the error per-row. Table payloads use the csv codec and
+    are decoded by :func:`_parse_csv_cells` instead.
     """
-    if codec not in _SUPPORTED_CODECS:
+    if codec != "raw8":
         raise NotImplementedError(f"codec {codec!r}: no decoder in this build")
     arr = np.frombuffer(payload, dtype=np.uint8)
     return arr.reshape(n_frames, height, width)
+
+
+def _parse_csv_cells(payload: bytes) -> list[list[str]]:
+    """Decode a UTF-8 CSV table payload into cell rows (stdlib csv —
+    handles quoted cells like the reference's extracted tables)."""
+    import csv
+    import io
+
+    return list(csv.reader(io.StringIO(payload.decode("utf-8", "replace"))))
+
+
+def table_text(media: DataFrame) -> DataFrame:
+    """Flatten table payloads to text — pure JVM expressions.
+
+    (media_id, doc_id, payload csv) → (media_id, doc_id, payload text)
+    where cells become whitespace-separated tokens, ready for the
+    gazetteer extractor. At scale this keeps table flattening inside
+    whole-stage codegen (decode + regexp_replace), no Python.
+    """
+    return media.filter(F.col("codec") == "csv").select(
+        "media_id",
+        "doc_id",
+        F.regexp_replace(
+            F.decode(F.col("payload"), "UTF-8"), r"[,\n\r]+", " "
+        ).alias("payload"),
+    )
+
+
+def extract_from_table_media(media: DataFrame) -> DataFrame:
+    """Run triple extraction over table media text (the reference's
+    interleaved-table case: spans with kind='table_ref' point at these
+    payloads). Returns (doc_id, pred, obj) surface mentions, ready to be
+    unioned with the payload-path mentions before linking."""
+    from .extraction import extract_triples
+
+    txt = table_text(media).select("doc_id", "payload")
+    return extract_triples(txt).dropDuplicates(["doc_id", "pred", "obj"])
 
 
 def extract_media_features(
@@ -133,6 +186,27 @@ def extract_media_features(
             out = []
             for r in pdf.itertuples(index=False):
                 try:
+                    if r.codec == "csv":
+                        rows_ = _parse_csv_cells(r.payload)
+                        cells = [c for row in rows_ for c in row]
+                        numeric = sum(
+                            1 for c in cells if c.replace(".", "", 1)
+                            .lstrip("-").isdigit()
+                        )
+                        out.append(
+                            {
+                                "media_id": r.media_id,
+                                "kind": r.kind,
+                                "features": [
+                                    float(len(rows_)),
+                                    float(max((len(x) for x in rows_), default=0)),
+                                    numeric / len(cells) if cells else 0.0,
+                                ],
+                                "mean_intensity": None,
+                                "error": None,
+                            }
+                        )
+                        continue
                     grid = _decode_payload(
                         r.payload, r.codec, r.width, r.height, r.n_frames
                     )

@@ -191,13 +191,18 @@ def test_multimodal_pipeline(spark):
     feats = extract_media_features(media).cache()
     ok = feats.filter(F.col("error").isNull())
     assert ok.count() == 40
-    row = ok.first()
-    assert len(row["features"]) == 16
-    assert abs(sum(row["features"]) - 1.0) < 1e-9
-    assert 0 <= row["mean_intensity"] <= 255
+    pixel = ok.filter(F.col("kind") != "table").first()
+    assert len(pixel["features"]) == 16
+    assert abs(sum(pixel["features"]) - 1.0) < 1e-9
+    assert 0 <= pixel["mean_intensity"] <= 255
+    table = ok.filter(F.col("kind") == "table").first()
+    n_rows, n_cols, numeric_ratio = table["features"]
+    assert n_rows >= 3 and n_cols >= 2  # header + body
+    assert 0.0 <= numeric_ratio <= 1.0
+    assert table["mean_intensity"] is None
 
     resized = resize_media(media, 8, 8)
-    sizes = resized.select(
+    sizes = resized.filter(F.col("codec") == "raw8").select(
         "media_id", F.length("payload").alias("nbytes"), "n_frames"
     ).collect()
     for r in sizes:
@@ -212,3 +217,40 @@ def test_multimodal_unknown_codec_lands_in_error(spark):
     feats = extract_media_features(media).collect()
     assert all(r["error"] is not None and "jpeg" in r["error"] for r in feats)
     assert all(r["features"] is None for r in feats)
+
+
+def test_table_media_extraction_on_reference_tables(spark):
+    """Real parity: the reference's extracted-table CSVs (its actual
+    interleaved media, data/raw/dementia_data/**/tables/table_NNN.csv)
+    decode through the csv media path and yield tract mentions."""
+    import glob
+
+    paths = sorted(
+        glob.glob(
+            "/root/reference/data/raw/dementia_data/*/articles/*/*/tables/table_*.csv"
+        )
+    )[:6]
+    if not paths:
+        pytest.skip("reference tables not available")
+    rows = [
+        (f"med_{i}", f"doc_{i}", "table", open(p, "rb").read(), 0, 0, 1, "csv")
+        for i, p in enumerate(paths)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, doc_id string, kind string, payload binary, "
+        "width int, height int, n_frames int, codec string",
+    )
+    from llm_information_extraction_spark.operators.multimodal import (
+        extract_from_table_media,
+    )
+
+    mentions = extract_from_table_media(media)
+    tracts = {
+        r["obj"]
+        for r in mentions.filter(
+            F.col("pred") == "whitematter_tracts"
+        ).collect()
+    }
+    # table_001 of pmcid_10481508 names corpus callosum + corticospinal tract
+    assert {"corpus callosum", "corticospinal tract"} & tracts
