@@ -235,6 +235,33 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out_doc, "pred": out_pred, "obj": out_obj})
 
 
+def merge_binary_yes_wins(mentions: DataFrame) -> DataFrame:
+    """Union-merge fixup for yes/no fields: a source (chunk / media item)
+    without evidence defaults to "no" (brain_extraction.py:55), so after
+    merging multiple sources a doc may hold both — keep "yes" when any
+    source said yes, matching the single-payload path's semantics
+    (_merge_chunk_results, main.py:168-175)."""
+    from pyspark.sql import functions as F
+
+    from ..vocab import BINARY_FIELDS
+
+    yes = (
+        mentions.filter(
+            F.col("pred").isin(BINARY_FIELDS) & (F.col("obj") == "yes")
+        )
+        .select("doc_id", "pred")
+        .withColumn("__has_yes", F.lit(True))
+    )
+    merged = mentions.join(yes, ["doc_id", "pred"], "left").filter(
+        ~(
+            F.col("pred").isin(BINARY_FIELDS)
+            & (F.col("obj") == "no")
+            & F.coalesce("__has_yes", F.lit(False))
+        )
+    )
+    return merged.drop("__has_yes")
+
+
 def extract_triples(
     documents_with_payload: DataFrame,
     payload_col: str = "payload",

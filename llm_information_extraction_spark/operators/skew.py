@@ -117,29 +117,10 @@ def extract_chunked(docs: DataFrame, max_spans: int = 64, mode: str = "full_text
     vocabulary phrase spans a chunk boundary (chunks cut at span
     boundaries, and phrases never cross spans, so it is exact here).
     """
-    from ..vocab import BINARY_FIELDS
-    from .extraction import extract_triples
+    from .extraction import extract_triples, merge_binary_yes_wins
     from .payload import build_payload
 
     chunked = chunk_spans(docs, max_spans)
     payload = build_payload(chunked, mode=mode)
     mentions = extract_triples(payload).dropDuplicates(["doc_id", "pred", "obj"])
-    # chunk merge for yes/no fields: a chunk without evidence defaults to
-    # "no" (brain_extraction.py:55), so after the union-merge a doc whose
-    # other chunk said "yes" holds both — resolve yes-wins, matching the
-    # single-payload path's semantics.
-    yes = (
-        mentions.filter(
-            F.col("pred").isin(BINARY_FIELDS) & (F.col("obj") == "yes")
-        )
-        .select("doc_id", "pred")
-        .withColumn("__has_yes", F.lit(True))
-    )
-    merged = mentions.join(yes, ["doc_id", "pred"], "left").filter(
-        ~(
-            F.col("pred").isin(BINARY_FIELDS)
-            & (F.col("obj") == "no")
-            & F.coalesce("__has_yes", F.lit(False))
-        )
-    )
-    return merged.drop("__has_yes")
+    return merge_binary_yes_wins(mentions)

@@ -72,11 +72,15 @@ class KGPipeline:
         warehouse: str,
         config: PipelineConfig | None = None,
         documents: DataFrame | None = None,
+        media: DataFrame | None = None,
     ):
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self.config = config or PipelineConfig()
         self._documents = documents
+        #: optional side table of media payloads (operators/multimodal
+        #: MEDIA_SCHEMA); table media contributes mentions too
+        self._media = media
 
     # -- lineage ------------------------------------------------------------
     def _record_lineage(
@@ -142,6 +146,15 @@ class KGPipeline:
         else:
             mentions = extract_triples(
                 build_payload(docs, mode=self.config.mode)
+            )
+        if self._media is not None:
+            from ..operators.extraction import merge_binary_yes_wins
+            from ..operators.multimodal import extract_from_table_media
+
+            mentions = merge_binary_yes_wins(
+                mentions.unionByName(
+                    extract_from_table_media(self._media)
+                ).dropDuplicates(["doc_id", "pred", "obj"])
             )
         return self._commit("mentions", mentions, t0)
 

@@ -84,6 +84,37 @@ def test_chunked_pipeline_matches_unchunked(spark, tmp_path):
     )
 
 
+def test_pipeline_with_table_media_mentions(spark, tmp_path):
+    """Table media payloads contribute extra triples; binary defaults
+    from media rows never overwrite a payload 'yes'."""
+    media = spark.createDataFrame(
+        [
+            (
+                "m1",
+                "doc_000000000",
+                "table",
+                b"region,fa\ncorpus callosum,0.41\nfornix,0.38",
+                0, 0, 1, "csv",
+            )
+        ],
+        "media_id string, doc_id string, kind string, payload binary, "
+        "width int, height int, n_frames int, codec string",
+    )
+    p = KGPipeline(spark, str(tmp_path / "w_media"), CFG, media=media)
+    p.run(stop_after="mentions")
+    got = _triples_set(p.read("mentions"))
+    assert ("doc_000000000", "whitematter_tracts", "corpus callosum") in got
+    assert ("doc_000000000", "whitematter_tracts", "fornix") in got
+    # no doc holds both yes and no for a binary field
+    from collections import defaultdict
+
+    vals = defaultdict(set)
+    for doc, pred, obj in got:
+        if pred in ("DTI_study", "Human_study", "Dementia_study"):
+            vals[(doc, pred)].add(obj)
+    assert all(len(v) == 1 for v in vals.values())
+
+
 def test_lineage_recorded_per_partition(spark, tmp_path):
     wh = str(tmp_path / "w_lin")
     p = KGPipeline(spark, wh, CFG)
