@@ -2,7 +2,6 @@ from .normalize import (  # noqa: F401
     canonicalize_array,
     canonicalize_col,
     clean_split,
-    empty_tokens_array,
     is_empty_token,
     normalize_text,
     strip_pmc_prefix,

@@ -31,10 +31,6 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "))
 
 
-def empty_tokens_array() -> Column:
-    return F.array(*[F.lit(t) for t in EMPTY_TOKENS])
-
-
 def is_empty_token(col: Column | str) -> Column:
     """True iff the normalized value is one of the EMPTY_TOKENS."""
     return normalize_text(col).isin(EMPTY_TOKENS)

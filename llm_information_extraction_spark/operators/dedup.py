@@ -187,7 +187,9 @@ def minhash_candidate_pairs(
     Jaccard j collides: 1-(1-j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # cache: the banded self-join consumes this twice (both sides); one
+    # row per doc, so the footprint is tiny relative to the corpus
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
     banded = sig.select(
         "id",
         F.explode(
@@ -236,10 +238,11 @@ def minhash_dedup_groups(
     cands = minhash_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, seed
     )
-    # verify candidates with true Jaccard on the shingle sets
+    # verify candidates with true Jaccard on the shingle sets (cached:
+    # joined twice — id_a and id_b sides)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
+    ).cache()
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -353,7 +356,8 @@ def simhash_near_dup_pairs(
     n_bands = min(max_hamming + 1, 32)
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sig = simhash_signatures(df, id_col, text_col, n)
+    # cached: the banded self-join reads it for both sides
+    sig = simhash_signatures(df, id_col, text_col, n).cache()
     banded = sig.select(
         "id",
         "sig",
