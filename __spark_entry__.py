@@ -18,7 +18,43 @@ decimals on BOTH sides so double summation order can't flip the hash.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# make the package importable on the driver regardless of cwd
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark) -> None:
+    """Ship the package to executors of a session we didn't create.
+
+    The harness builds its own SparkSession; its JVM snapshotted
+    PYTHONPATH before we were imported, so Python workers can't unpickle
+    our mapInPandas closures. ``sc.addPyFile`` with a runtime-built zip
+    is the post-hoc equivalent of ``spark-submit --py-files``.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "kgx_entry_pkg.zip")
+    if not os.path.exists(zpath):
+        pkg = Path(_REPO) / "llm_information_extraction_spark"
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in pkg.rglob("*"):
+                if f.is_file() and "__pycache__" not in str(f):
+                    zf.write(f, f.relative_to(Path(_REPO)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,6 +126,7 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     return kg_triples(spark, "/root/testdata/sf0.001")
 
 
@@ -385,8 +422,24 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(synth_media(spark, 200, seed=42))
 
 
+def _with_shipping(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _with_shipping(fn)
+        for name, fn in _RAW_QUERIES.items()
+    }
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # flagship + reference-operator analogs
         "kg_triples": kg_triples,
         "q1_pricing_summary": q1_pricing_summary,
@@ -417,7 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "greedy_error_totals": greedy_error_totals,
         "media_features": media_features,
-    }
+}
 
 
 def oracle_sql() -> dict[str, str]:
