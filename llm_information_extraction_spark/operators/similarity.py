@@ -127,6 +127,66 @@ def rp_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-vector cell id.
+
+    Returns (assignments(id, v, cell), centroids). The index DataFrame
+    should be persisted/bucketed by ``cell`` at scale so probes prune
+    partitions. Deterministic via seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    src = df.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(src)
+    assigned = km.transform(src).select(
+        "id", "v", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only the ``n_probe`` cells whose
+    centroids are cosine-closest to the query, then exact rerank.
+
+    The cell filter prunes (1 - n_probe/n_centroids) of the corpus before
+    any per-vector work — the IVF scale path from the ANN literature;
+    recall rises with n_probe (== exact when n_probe == n_centroids).
+    """
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cents = np.asarray(centroids, dtype=float)
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (cents / norms[:, None]) @ qn
+    probe_cells = [int(i) for i in np.argsort(-sims)[:n_probe]]
+
+    q_col = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        index.filter(F.col("cell").isin(probe_cells))
+        .select("id", cosine_sim(F.col("v"), q_col).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -77,7 +77,7 @@ MULTILABEL_FIELDS = [
 ]
 
 
-def _read_positional(spark: SparkSession, path: str, prefix: str) -> DataFrame:
+def _read_positional(spark: SparkSession, path: str) -> DataFrame:
     """CSV → single-partition DataFrame with a positional __rn column.
 
     multiLine + '"' escaping matches pandas' RFC-4180 parsing of the
@@ -102,8 +102,8 @@ def evaluate_reference_csvs(
     use_semantic_matching: bool = True,
 ) -> DataFrame:
     """(field, f1, model) rows — parity with evaluate_model's output."""
-    gold = _read_positional(spark, gold_path, "g")
-    pred = _read_positional(spark, pred_path, "p")
+    gold = _read_positional(spark, gold_path)
+    pred = _read_positional(spark, pred_path)
 
     n_gold, n_pred = gold.count(), pred.count()
     if n_gold != n_pred:
@@ -208,8 +208,8 @@ def evaluate_wmt_only(
     Returns the float; the parity test compares it against the
     full-precision values in data/processed/f1_wmt_lut_comparison.csv.
     """
-    gold = _read_positional(spark, gold_path, "g")
-    pred = _read_positional(spark, pred_path, "p")
+    gold = _read_positional(spark, gold_path)
+    pred = _read_positional(spark, pred_path)
     if gold.count() != pred.count():
         raise AssertionError("Row count mismatch")
     cmap = CANON_MAPS["whitematter_tracts"]

@@ -156,6 +156,29 @@ def test_cosine_topk_join(spark):
         assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4]
 
 
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    index, centroids = ivf_index(emb, n_centroids=8)
+    index = index.cache()
+    q = emb.orderBy("vec_id").first()
+    query = [float(x) for x in q["embedding"]]
+    exact = [r["id"] for r in cosine_topk(emb, query, k=10).collect()]
+    # full probe == exact search
+    full = [r["id"] for r in
+            ivf_topk(index, centroids, query, k=10, n_probe=8).collect()]
+    assert full == exact
+    # partial probe finds the self-match and decent recall
+    approx = [r["id"] for r in
+              ivf_topk(index, centroids, query, k=10, n_probe=3).collect()]
+    assert approx[0] == q["vec_id"]
+    assert len(set(approx) & set(exact)) >= 5
+
+
 def test_text_metrics_on_testdata(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = docs.select(
