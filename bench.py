@@ -82,7 +82,7 @@ def run_headline() -> dict:
             kg_rows = n
     total = round(time.time() - total0, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "e2e_sec",
         "value": total,
         "unit": "sec",
@@ -92,6 +92,12 @@ def run_headline() -> dict:
         "kg_triples_per_sec": round(kg_rows / timings["kg_triples"], 1)
         if timings.get("kg_triples") else None,
     }
+    # attach the recorded large-scale evidence (written by --scaling /
+    # the 10M slice run) so the per-round bench JSON carries it too
+    scaling_file = REPO / "BENCH" / "scaling.json"
+    if scaling_file.exists():
+        out["scaling"] = json.loads(scaling_file.read_text())
+    return out
 
 
 _GEN_SNIPPET = r"""
@@ -182,6 +188,7 @@ def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
     }
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
+    (REPO / "BENCH" / "scaling.json").write_text(json.dumps(summary, indent=2))
     rows = "\n".join(
         f"| {c} | {results[c]['wall_sec']} | {results[c]['triples']:,} | "
         f"{results[c]['triples_per_sec']:,} |"
