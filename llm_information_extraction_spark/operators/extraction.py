@@ -155,16 +155,6 @@ def _cached_rule_regexes() -> dict[str, re.Pattern]:
     }
 
 
-_WS = re.compile(r"\s+")
-
-
-def _normalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized normalize_text parity (lower, strip, collapse ws)."""
-    return (
-        s.fillna("").astype(str).str.lower().str.strip().str.replace(_WS, " ", regex=True)
-    )
-
-
 def _field_matches(text: str) -> dict[str, list[str]]:
     """Per-field surface matches from ONE combined trie scan."""
     rx, surf2fields = _cached_combined()
@@ -177,8 +167,12 @@ def _field_matches(text: str) -> dict[str, list[str]]:
 
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Expects ``payload`` ALREADY normalized (lowercase, collapsed
+    whitespace) — :func:`extract_triples` applies normalize_text
+    JVM-side so Arrow batches arrive match-ready and the Python side
+    never rescans for case/whitespace."""
     rules = _cached_rule_regexes()
-    texts = _normalize_series(pdf["payload"]).tolist()
+    texts = pdf["payload"].fillna("").tolist()
     doc_ids = pdf["doc_id"].astype(str).tolist()
 
     out_doc: list[str] = []
@@ -271,8 +265,12 @@ def extract_triples(
     ``obj`` is the raw matched surface form; run the linking stage
     (:mod:`..operators.linking`) to canonicalize.
     """
+    from ..functions.normalize import normalize_text
+
+    # normalize in the JVM (codegen) so Python receives match-ready text
     src = documents_with_payload.select(
-        "doc_id", documents_with_payload[payload_col].alias("payload")
+        "doc_id",
+        normalize_text(documents_with_payload[payload_col]).alias("payload"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
