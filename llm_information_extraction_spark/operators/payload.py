@@ -58,6 +58,7 @@ def build_payload(
     mode: str = "full_text",
     spans_col: str = "spans",
     out_col: str = "payload",
+    as_json: bool = False,
 ) -> DataFrame:
     """Serialize each document's span sequence to one extraction payload.
 
@@ -80,7 +81,13 @@ def build_payload(
             s["text"].isNotNull(), F.concat(s["kind"], F.lit(": "), s["text"])
         ).otherwise(F.concat(F.lit("[media "), s["media_ref"], F.lit("]"))),
     )
-    return df.withColumn(out_col, F.concat_ws("\n", text_parts))
+    payload = F.concat_ws("\n", text_parts)
+    if as_json:
+        # the reference serializes the payload as a JSON object with a
+        # 'body' field (json.dumps at main.py:94,118; the prompt reads
+        # payload['body'], brain_extraction.py:5)
+        payload = F.to_json(F.struct(payload.alias("body")))
+    return df.withColumn(out_col, payload)
 
 
 def span_signature(spans: Column | str) -> Column:

@@ -122,6 +122,18 @@ def test_prune_keeps_media_spans(spark):
     assert [s["kind"] for s in kept] == ["title", "table_ref"]
 
 
+def test_json_payload_roundtrip(spark, docs):
+    """as_json wraps the payload like the reference's json.dumps
+    (main.py:94,118); from_json recovers the body exactly (F8)."""
+    plain = build_payload(docs).select("doc_id", "payload")
+    as_json = build_payload(docs, as_json=True).select(
+        "doc_id",
+        F.from_json("payload", "body string")["body"].alias("payload"),
+    )
+    assert as_json.exceptAll(plain).count() == 0
+    assert plain.exceptAll(as_json).count() == 0
+
+
 def test_abstract_mode_filters_kinds(spark, docs):
     pay = build_payload(docs, mode="abstract").select("payload").limit(5).collect()
     for r in pay:
