@@ -146,6 +146,19 @@ def test_greedy_error_analysis_reference_parity(spark):
     )
 
 
+def test_pivot_f1(spark):
+    from llm_information_extraction_spark.operators.evaluation import pivot_f1
+
+    df = spark.createDataFrame(
+        [("wmt", "gpt4", 0.49), ("wmt", "gpt5", 0.68),
+         ("dti", "gpt4", 0.95), ("dti", "gpt5", 0.99)],
+        "field string, model string, f1 double",
+    )
+    got = {r["field"]: (r["gpt4"], r["gpt5"])
+           for r in pivot_f1(df, "field", "model", "f1").collect()}
+    assert got == {"dti": (0.95, 0.99), "wmt": (0.49, 0.68)}
+
+
 def test_categorise_decision_table(spark):
     cases = {
         None: "NA",
