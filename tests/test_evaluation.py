@@ -159,6 +159,102 @@ def test_pivot_f1(spark):
     assert got == {"dti": (0.95, 0.99), "wmt": (0.49, 0.68)}
 
 
+@pytest.mark.parametrize("seed", [5, 6])
+def test_greedy_matcher_randomized_parity(spark, seed):
+    """Randomized corpora incl. near-miss strings: distributed greedy
+    TP/FP/FN totals equal the reference formula exactly."""
+    rng = random.Random(seed)
+    base = ["corpus callosum", "fornix", "cingulum", "uncinate fasciculus",
+            "superior longitudinal fasciculus", "arcuate fasciculus"]
+
+    def mutate(s):
+        i = rng.randrange(len(s))
+        return s[:i] + s[i + 1:] if rng.random() < 0.5 else s[:i] + "x" + s[i:]
+
+    rows = []
+    for _ in range(60):
+        gold = sorted(rng.sample(base, rng.randint(0, 3)))
+        pred = [mutate(g) if rng.random() < 0.4 else g for g in gold]
+        pred += [mutate(rng.choice(base)) for _ in range(rng.randint(0, 2))]
+        rng.shuffle(pred)
+        rows.append((gold, pred))
+
+    def ref_row(gold, pred):
+        gold_set, matched = set(gold), set()
+        tp = fp = 0
+        for p in pred:
+            best, bg = 0.0, None
+            for g in sorted(gold_set - matched):
+                s = SequenceMatcher(None, p, g).ratio()
+                if s > best:
+                    best, bg = s, g
+            if best >= 0.85 and bg is not None:
+                tp += 1
+                matched.add(bg)
+            else:
+                fp += 1
+        return tp, fp, len(gold_set - matched)
+
+    want = [0, 0, 0]
+    for g, p in rows:
+        if not g and not p:
+            continue
+        t = ref_row(g, p)
+        want = [a + b for a, b in zip(want, t)]
+    df = spark.createDataFrame(rows, "gold array<string>, pred array<string>")
+    got = greedy_error_analysis(df).collect()[0]
+    assert [got["tp"], got["fp"], got["fn"]] == want
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_semantic_matching_randomized_parity(spark, seed):
+    """apply_semantic_matching == the reference's best_semantic_match
+    loop on randomized typo'd prediction lists."""
+    rng = random.Random(seed)
+    base = ["corpus callosum", "fornix", "cingulum", "genu",
+            "inferior longitudinal fasciculus", "corticospinal tract"]
+
+    def mutate(s):
+        i = rng.randrange(len(s))
+        return s[:i] + s[i + 1:]
+
+    rows = []
+    for _ in range(60):
+        gold = sorted(rng.sample(base, rng.randint(0, 3)))
+        pred = [mutate(x) if rng.random() < 0.5 else x
+                for x in rng.sample(base, rng.randint(0, 4))]
+        rows.append((gold, pred))
+
+    def ref_map(pred_list, gold_list):
+        out = []
+        for p in pred_list:
+            if not gold_list:
+                out.append(p)
+                continue
+            best_ref, best_score, exact = None, 0.0, False
+            for g in gold_list:
+                if p == g:
+                    out.append(g)
+                    exact = True
+                    break
+                s = SequenceMatcher(None, p, g).ratio()
+                if s > best_score:
+                    best_score, best_ref = s, g
+            if not exact:
+                out.append(best_ref if best_score >= 0.95 else p)
+        return out
+
+    df = spark.createDataFrame(rows, "gold array<string>, pred array<string>")
+    got = [
+        (r["gold"], r["pred"])
+        for r in apply_semantic_matching(df).orderBy("gold", "pred").collect()
+    ]
+    want = sorted(
+        [(g, ref_map(p, g)) for g, p in rows], key=lambda x: (x[0], x[1])
+    )
+    assert got == want
+
+
 def test_categorise_decision_table(spark):
     cases = {
         None: "NA",
