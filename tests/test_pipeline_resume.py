@@ -72,6 +72,24 @@ def test_crash_mid_write_invisible(spark, tmp_path):
     assert m["current"] == 0
 
 
+def test_sql_views_over_pipeline(spark, tmp_path):
+    from llm_information_extraction_spark.plans.sql_views import (
+        doc_field_matrix,
+        entity_mention_counts,
+        register_views,
+    )
+
+    p = KGPipeline(spark, str(tmp_path / "w_sql"), CFG)
+    p.run()
+    views = register_views(p)
+    assert {"kg_triples", "kg_entities", "kg_lineage"} <= set(views)
+    top = entity_mention_counts(spark).first()
+    assert top["n_mentions"] >= top["n_docs"] >= 1
+    m = doc_field_matrix(spark)
+    assert m.count() == CFG.n_docs
+    assert m.filter("n_fields < 3").count() == 0  # binary defaults everywhere
+
+
 def test_chunked_pipeline_matches_unchunked(spark, tmp_path):
     """chunk_max_spans bounds Arrow batches without changing triples."""
     base = KGPipeline(spark, str(tmp_path / "w_nochunk"), CFG)
