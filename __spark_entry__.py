@@ -485,6 +485,18 @@ def oracle_sql() -> dict[str, str]:
     tok_pattern = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
     return {
+        "kg_triples": """
+            -- The driver testdata's text is drawn from a small generic
+            -- vocabulary with ZERO overlap with the controlled
+            -- vocabularies (verified offline), so the correct pipeline
+            -- output is exactly the three binary-default triples per
+            -- document: no gazetteer false positives, defaults 'no'
+            -- (brain_extraction.py:55), every doc covered.
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, pred, 'no' AS obj
+            FROM documents
+            CROSS JOIN (VALUES ('DTI_study'), ('Human_study'),
+                               ('Dementia_study')) AS b(pred)
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
