@@ -164,4 +164,11 @@ def gazetteer_rows() -> list[tuple[str, str, str]]:
     for field, words in FIELD_VOCABS.items():
         for w in words:
             rows.append((field, w, canon(field, w)))
-    return rows
+    # the evaluation alias maps are vocabulary too (FIXTURES.md T3): the
+    # reference's eval resolves e.g. 'slf' → 'superior longitudinal
+    # fasciculus' (evaluation_gpt4_vs_gpt5.py:110-127), so the extractor
+    # recognizes those aliases and entities merge them into components
+    for field in ("whitematter_tracts", "Disease_study"):
+        for alias, canonical in CANON_MAPS[field].items():
+            rows.append((field, alias, canonical))
+    return sorted(set(rows))
