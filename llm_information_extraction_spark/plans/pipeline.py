@@ -102,6 +102,24 @@ class KGPipeline:
             prev = self.catalog.read("lineage")
             per_part = prev.unionByName(per_part)
         self.catalog.write("lineage", per_part)
+        # stage-level metrics rollup (the north rule materializes lineage
+        # AND metrics): rows, partitions, skew ratio, wall time per stage
+        stage_metrics = (
+            self.catalog.read("lineage")
+            .groupBy("stage", "snapshot_id", "config")
+            .agg(
+                F.sum("rows_out").alias("rows_out"),
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.max("rows_out").alias("max_partition_rows"),
+                F.round(
+                    F.max("rows_out")
+                    / F.greatest(F.avg("rows_out"), F.lit(1.0)),
+                    3,
+                ).alias("partition_skew"),
+                F.max("wall_ms").alias("wall_ms"),
+            )
+        )
+        self.catalog.write("metrics", stage_metrics)
 
     def _stage_done(self, stage: str) -> bool:
         if not self.catalog.exists(stage):

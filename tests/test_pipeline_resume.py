@@ -148,3 +148,10 @@ def test_lineage_recorded_per_partition(spark, tmp_path):
     }
     for stage in ("mentions", "triples", "entities"):
         assert agg[stage] == counts[stage]
+    # stage-level metrics table exists with sane rollups
+    metrics = {r["stage"]: r for r in p.read("metrics").collect()}
+    for stage in ("mentions", "triples", "entities"):
+        assert metrics[stage]["rows_out"] == counts[stage]
+        assert metrics[stage]["n_partitions"] >= 1
+        assert metrics[stage]["partition_skew"] >= 1.0
+        assert metrics[stage]["wall_ms"] > 0
