@@ -327,6 +327,20 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-dim rollup touching the last uncovered table (supplier)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
 def label_space_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: sorted distinct label space (evaluation_gpt4_vs_gpt5.py:163)."""
     e = _t(spark, sf_dir, "events")
@@ -453,6 +467,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "samples_jaccard_subset": samples_jaccard_subset,
         "binary_metrics_events": binary_metrics_events,
         "category_distribution_docs": category_distribution_docs,
+        "suppliers_per_nation": suppliers_per_nation,
         "label_space_sorted": label_space_sorted,
         "top_parts_by_revenue": top_parts_by_revenue,
         "macro_f1_events": macro_f1_events,
@@ -625,6 +640,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT category, n,
                    round(n * 100.0 / (SELECT sum(n) FROM counts), 6) AS pct
             FROM counts
+        """,
+        "suppliers_per_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 6) AS avg_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "label_space_sorted": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
