@@ -109,7 +109,7 @@ def _compile_field_regexes() -> dict[str, re.Pattern]:
     """One trie-compiled regex per field, with token-boundary lookarounds
     (non-consuming, so adjacent matches still work)."""
     by_field: dict[str, list[str]] = {f: [] for f in _GAZETTEER_FIELDS}
-    for field, surface, _canon in vocab.gazetteer_rows():
+    for field, surface, _canon in vocab.extraction_rows():
         if field in by_field:
             by_field[field].append(surface)
     out = {}
@@ -130,13 +130,15 @@ def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
     """One union trie over every field's vocabulary + surface→fields map.
 
     A single linear scan replaces the 10 per-field scans. Equivalent to
-    per-field scanning because (audited + tested) the only cross-field
-    surface overlaps are Disease_study ↔ patient_groups, which share the
-    identical disease vocabulary — the union's longest match resolves to
-    the same surface either way, and the map fans it out to both fields.
+    per-field scanning because :func:`vocab.extraction_rows` guarantees
+    (and ``test_no_cross_field_surface_overlap`` asserts) that the only
+    cross-field surface overlap is Disease_study ↔ patient_groups, which
+    share the identical disease vocabulary — the union's longest match
+    resolves to the same surface either way, and the map fans it out to
+    both fields. Colliding eval aliases (e.g. 'ad') are excluded there.
     """
     surf2fields: dict[str, list[str]] = {}
-    for field, surface, _canon in vocab.gazetteer_rows():
+    for field, surface, _canon in vocab.extraction_rows():
         if field in _GAZETTEER_FIELDS:
             surf2fields.setdefault(surface, []).append(field)
     pattern = re.compile(
@@ -147,11 +149,21 @@ def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
 
 @lru_cache(maxsize=1)
 def _cached_rule_regexes() -> dict[str, re.Pattern]:
-    """Single-pass substring rules (animal / review / single-study)."""
+    """Single-pass marker rules (animal / review / single-study).
+
+    Same token-boundary lookarounds as the gazetteer fields — without
+    them substrings fire the doc-level rules ('this reviewer' would
+    match 'this review' and force whitematter_tracts = [])."""
+
+    def bounded(words: list[str]) -> re.Pattern:
+        return re.compile(
+            r"(?<![a-z0-9])" + _trie_pattern(words) + r"(?![a-z0-9])"
+        )
+
     return {
-        "animal": re.compile(_trie_pattern(vocab.ANIMAL_MARKERS)),
-        "review": re.compile(_trie_pattern(vocab.REVIEW_MARKERS)),
-        "single": re.compile(re.escape("single study")),
+        "animal": bounded(vocab.ANIMAL_MARKERS),
+        "review": bounded(vocab.REVIEW_MARKERS),
+        "single": bounded(["single study"]),
     }
 
 

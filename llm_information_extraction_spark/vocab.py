@@ -144,31 +144,78 @@ CANON_MAPS: dict[str, dict[str, str]] = {
 }
 
 
-def gazetteer_rows() -> list[tuple[str, str, str]]:
-    """Flatten every vocabulary into ``(field, surface, canonical)`` rows.
+#: cross-field surface overlap sanctioned by the reference: the disease
+#: list doubles as the patient_groups vocabulary (brain_extraction.py:50-51)
+SANCTIONED_OVERLAP = frozenset({"Disease_study", "patient_groups"})
 
-    This is the broadcast dimension table used by extraction and linking
-    (FIXTURES.md T3). Canonical = the surface itself unless a canonical
-    map overrides it.
-    """
+
+def _canon(field: str, surface: str) -> str:
+    return CANON_MAPS.get(field, {}).get(surface, surface)
+
+
+def _primary_rows() -> list[tuple[str, str, str]]:
+    """Rows from the prompt's controlled vocabularies (the LUT proper)."""
     rows: list[tuple[str, str, str]] = []
-
-    def canon(field: str, surface: str) -> str:
-        return CANON_MAPS.get(field, {}).get(surface, surface)
-
     for t in tract_surface_forms():
-        rows.append(("whitematter_tracts", t, canon("whitematter_tracts", t)))
+        rows.append(("whitematter_tracts", t, _canon("whitematter_tracts", t)))
     for d in disease_surface_forms():
-        rows.append(("Disease_study", d, canon("Disease_study", d)))
+        rows.append(("Disease_study", d, _canon("Disease_study", d)))
         rows.append(("patient_groups", d, d))
     for field, words in FIELD_VOCABS.items():
         for w in words:
-            rows.append((field, w, canon(field, w)))
-    # the evaluation alias maps are vocabulary too (FIXTURES.md T3): the
-    # reference's eval resolves e.g. 'slf' → 'superior longitudinal
-    # fasciculus' (evaluation_gpt4_vs_gpt5.py:110-127), so the extractor
-    # recognizes those aliases and entities merge them into components
+            rows.append((field, w, _canon(field, w)))
+    return rows
+
+
+def _alias_rows() -> list[tuple[str, str, str]]:
+    """Rows from the evaluation alias maps
+    (evaluation_gpt4_vs_gpt5.py:110-127), e.g. 'slf' → 'superior
+    longitudinal fasciculus'. The reference uses these only to
+    canonicalize predicted/gold labels at eval time."""
+    rows: list[tuple[str, str, str]] = []
     for field in ("whitematter_tracts", "Disease_study"):
         for alias, canonical in CANON_MAPS[field].items():
             rows.append((field, alias, canonical))
+    return rows
+
+
+def gazetteer_rows() -> list[tuple[str, str, str]]:
+    """Flatten every vocabulary into ``(field, surface, canonical)`` rows.
+
+    This is the broadcast dimension table used by LINKING and entity
+    construction (FIXTURES.md T3): it includes the eval alias maps so
+    entities merge 'slf' with 'superior longitudinal fasciculus'.
+    Canonical = the surface itself unless a canonical map overrides it.
+    The extraction matcher must use :func:`extraction_rows` instead —
+    alias surfaces that collide with another field's vocabulary (e.g.
+    Disease_study alias 'ad' vs diffusion measure 'ad') are extraction
+    false-positive triggers.
+    """
+    return sorted(set(_primary_rows() + _alias_rows()))
+
+
+def extraction_rows() -> list[tuple[str, str, str]]:
+    """Extraction-matcher vocabulary: primary LUT rows + only those eval
+    aliases whose surface does NOT appear in any *other* field's
+    vocabulary (beyond the sanctioned Disease_study↔patient_groups
+    overlap).
+
+    Recognizing unambiguous aliases ('slf', 'ilf', 'cc', …) at extraction
+    time is a recall extension over the reference; ambiguous ones ('ad'
+    is both the Alzheimer alias and a diffusion measure) stay eval-only,
+    matching the reference, which never uses alias maps as extraction
+    triggers.
+    """
+    primary = _primary_rows()
+    aliases = _alias_rows()
+    surf_fields: dict[str, set[str]] = {}
+    for f, s, _ in primary + aliases:
+        surf_fields.setdefault(s, set()).add(f)
+    rows = list(primary)
+    for f, s, c in aliases:
+        others = surf_fields[s] - {f}
+        if f in SANCTIONED_OVERLAP:
+            others -= SANCTIONED_OVERLAP
+        if not others:
+            rows.append((f, s, c))
     return sorted(set(rows))
