@@ -147,24 +147,31 @@ def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
     return pattern, {s: tuple(fs) for s, fs in surf2fields.items()}
 
 
-@lru_cache(maxsize=1)
-def _cached_rule_regexes() -> dict[str, re.Pattern]:
-    """Single-pass marker rules (animal / review / single-study).
-
-    Same token-boundary lookarounds as the gazetteer fields — without
+def marker_patterns() -> dict[str, str]:
+    """Marker pattern strings (animal / review / single-study), with the
+    same token-boundary lookarounds as the gazetteer fields — without
     them substrings fire the doc-level rules ('this reviewer' would
-    match 'this review' and force whitematter_tracts = [])."""
+    match 'this review' and force whitematter_tracts = []).
 
-    def bounded(words: list[str]) -> re.Pattern:
-        return re.compile(
-            r"(?<![a-z0-9])" + _trie_pattern(words) + r"(?![a-z0-9])"
-        )
+    The patterns use only constructs shared by Python ``re`` and Java
+    regex (escapes, non-capturing groups, lookarounds), so the SAME
+    string drives both the Arrow extractor and JVM-side ``rlike``
+    doc-level flags (:func:`..operators.skew.extract_chunked`).
+    """
+
+    def bounded(words: list[str]) -> str:
+        return r"(?<![a-z0-9])" + _trie_pattern(words) + r"(?![a-z0-9])"
 
     return {
         "animal": bounded(vocab.ANIMAL_MARKERS),
         "review": bounded(vocab.REVIEW_MARKERS),
         "single": bounded(["single study"]),
     }
+
+
+@lru_cache(maxsize=1)
+def _cached_rule_regexes() -> dict[str, re.Pattern]:
+    return {k: re.compile(p) for k, p in marker_patterns().items()}
 
 
 def _field_matches(text: str) -> dict[str, list[str]]:

@@ -112,15 +112,74 @@ def chunk_spans(
 def extract_chunked(docs: DataFrame, max_spans: int = 64, mode: str = "full_text"):
     """Oversized-doc-safe extraction: chunk → payload → extract → merge.
 
-    Returns the same (doc_id, pred, obj) contract as the unchunked path;
-    for pure gazetteer matching the result is identical whenever no
-    vocabulary phrase spans a chunk boundary (chunks cut at span
-    boundaries, and phrases never cross spans, so it is exact here).
+    Returns the same (doc_id, pred, obj) contract as the unchunked path,
+    and is EXACT (tested on marker-split corpora): per-surface matches
+    union correctly because chunks cut at span boundaries and phrases
+    never cross spans, but the animal/review pre-filter, study_type, and
+    Human_study are DOC-level rules — a chunk can't see another chunk's
+    markers. Those are re-resolved here from doc-level flag aggregates:
+
+    - ``animal``/``review`` flags come from a JVM ``rlike`` over each
+      chunk payload (same pattern strings as the extractor's rules),
+      OR-ed per doc — one codegen'd aggregate, no second Python pass;
+    - tracts are dropped for flagged docs (the MUST-return-[] rule,
+      brain_extraction.py:35);
+    - ``study_type = 'single study'`` rows are dropped when the doc is a
+      review anywhere (the unchunked elif);
+    - ``Human_study`` is recomputed as (humans mentioned anywhere) AND
+      NOT (animal anywhere) — yes-wins merging would wrongly flip it to
+      'yes' when one chunk has humans and another has the animal marker.
     """
-    from .extraction import extract_triples, merge_binary_yes_wins
+    from ..functions.normalize import normalize_text
+    from .extraction import extract_triples, marker_patterns, merge_binary_yes_wins
     from .payload import build_payload
 
     chunked = chunk_spans(docs, max_spans)
     payload = build_payload(chunked, mode=mode)
+
+    pats = marker_patterns()
+    norm = normalize_text(F.col("payload"))
+    doc_flags = (
+        payload.select(
+            "doc_id",
+            norm.rlike(pats["animal"]).alias("animal"),
+            norm.rlike(pats["review"]).alias("review"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("animal").alias("animal"), F.max("review").alias("review"))
+    )
+
     mentions = extract_triples(payload).dropDuplicates(["doc_id", "pred", "obj"])
-    return merge_binary_yes_wins(mentions)
+    merged = merge_binary_yes_wins(mentions).join(doc_flags, "doc_id", "left")
+    animal = F.coalesce("animal", F.lit(False))
+    review = F.coalesce("review", F.lit(False))
+    corrected = merged.filter(
+        ~((F.col("pred") == "whitematter_tracts") & (animal | review))
+    ).filter(
+        ~(
+            (F.col("pred") == "study_type")
+            & (F.col("obj") == "single study")
+            & review
+        )
+    )
+
+    has_humans = (
+        mentions.filter(
+            (F.col("pred") == "subjects") & (F.col("obj") == "humans")
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__h", F.lit(True))
+    )
+    human = doc_flags.join(has_humans, "doc_id", "left").select(
+        "doc_id",
+        F.lit("Human_study").alias("pred"),
+        F.when(F.coalesce("__h", F.lit(False)) & ~F.col("animal"), "yes")
+        .otherwise("no")
+        .alias("obj"),
+    )
+    return (
+        corrected.filter(F.col("pred") != "Human_study")
+        .select("doc_id", "pred", "obj")
+        .unionByName(human)
+    )

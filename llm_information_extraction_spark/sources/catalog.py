@@ -75,27 +75,46 @@ class Catalog:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, p)
 
-    # -- public API ---------------------------------------------------------
-    def write(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
-        """Write a new snapshot of ``table``; returns the snapshot id.
-
-        The snapshot only becomes visible once the manifest commit lands;
-        a crash mid-write leaves the previous snapshot current.
-        """
-        if self._iceberg:
-            df.writeTo(f"{table}").createOrReplace()
-            return 0
+    def _commit_meta(self, table: str, path: str, meta: dict | None) -> int:
+        """Append + point the manifest at a new snapshot id (the commit)."""
         m = self._read_manifest(table)
         snap_id = (m["current"] + 1) if m["current"] is not None else 0
-        path = str(Path(self.warehouse) / table / f"snap_{snap_id:06d}")
-        df.write.mode("overwrite").parquet(path)
         m["snapshots"].append({"id": snap_id, "path": path, "meta": meta or {}})
         m["current"] = snap_id
         self._write_manifest(table, m)
         return snap_id
 
+    # -- public API ---------------------------------------------------------
+    def write(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        """Write a new snapshot of ``table``; returns the snapshot id.
+
+        The snapshot only becomes visible once the manifest commit lands;
+        a crash mid-write leaves the previous snapshot current. The
+        Iceberg branch keeps the SAME side manifest for meta/snapshot-id
+        bookkeeping (Iceberg holds the data, the manifest holds the
+        pipeline's config fingerprints), so snapshot_meta()/exists() see
+        one consistent view on both branches and resume works under
+        Iceberg too. A crash between the Iceberg commit and the manifest
+        commit re-runs the stage — the safe direction (idempotent
+        createOrReplace).
+        """
+        if self._iceberg:
+            df.writeTo(f"{table}").createOrReplace()
+            return self._commit_meta(table, f"iceberg:{table}", meta)
+        m = self._read_manifest(table)
+        snap_id = (m["current"] + 1) if m["current"] is not None else 0
+        path = str(Path(self.warehouse) / table / f"snap_{snap_id:06d}")
+        df.write.mode("overwrite").parquet(path)
+        self._commit_meta(table, path, meta)
+        return snap_id
+
     def read(self, table: str, snapshot: int | None = None) -> DataFrame:
         if self._iceberg:
+            if snapshot is not None:
+                raise NotImplementedError(
+                    "per-snapshot reads under Iceberg need time-travel "
+                    "(VERSION AS OF); only the current table is wired"
+                )
             return self.spark.table(table)
         m = self._read_manifest(table)
         sid = m["current"] if snapshot is None else snapshot
@@ -106,7 +125,12 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         if self._iceberg:
-            return self.spark.catalog.tableExists(table)
+            # both the Iceberg table AND the manifest commit must exist —
+            # a crash between them must read as "not committed"
+            return (
+                self.spark.catalog.tableExists(table)
+                and self._read_manifest(table)["current"] is not None
+            )
         return self._read_manifest(table)["current"] is not None
 
     def current_snapshot(self, table: str) -> int | None:

@@ -4,16 +4,19 @@ The reference is strictly batch (SURVEY §2: no streaming semantics), so
 this is an *extension*: new document files landing in a directory are
 extracted incrementally with Structured Streaming. The transformation
 chain is byte-identical to the batch path — the same payload expressions
-and the same mapInPandas extractor run inside ``foreachBatch``, and each
-micro-batch commits a snapshot through the same catalog, so a streaming
-deployment inherits batch parity and the resume contract for free
-(checkpointLocation + idempotent snapshot commits).
+and the same mapInPandas extractor run inside ``foreachBatch``.
+
+The sink is idempotent under micro-batch REPLAY, which foreachBatch does
+not guarantee by itself: each batch overwrites its own
+``batch_id=<N>`` partition directory, so a crash after the write but
+before the checkpoint commit re-runs the batch into the same directory
+instead of appending duplicates (the standard exactly-once foreachBatch
+recipe). Readers get ``batch_id`` back as a discovered partition column.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.extraction import extract_triples
 from ..operators.linking import link_mentions, vocabulary_df
@@ -45,8 +48,11 @@ def incremental_triples(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = link_mentions(
             extract_triples(build_payload(batch_df, mode=mode)), vdf
-        ).withColumn("batch_id", F.lit(batch_id))
-        triples.write.mode("append").parquet(output_dir)
+        )
+        # overwrite-per-batch-directory = replay-idempotent commit
+        triples.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -92,3 +92,26 @@ def test_streaming_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_streaming_sink_idempotent_on_batch_replay(spark, tmp_path):
+    """Crash-after-write-before-checkpoint-commit replays the micro-batch;
+    the per-batch_id overwrite sink must not duplicate rows. Simulated by
+    re-running the whole (single-batch) stream with a FRESH checkpoint
+    against the same output directory — same batch id, same data."""
+    docs = generate_documents(spark, 40, seed=33)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(2).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+
+    q = incremental_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt1"), available_now=True
+    )
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out_dir).count()
+
+    q2 = incremental_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_first

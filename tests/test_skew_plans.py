@@ -82,6 +82,53 @@ def test_chunked_extraction_equals_unchunked(spark):
     assert unchunked.exceptAll(chunked).count() == 0
 
 
+def test_chunked_extraction_doc_level_rules_cross_chunk(spark):
+    """A doc whose animal/review markers land in a DIFFERENT chunk than
+    its tracts / humans / 'single study' mentions: per-chunk rules would
+    leak tracts, emit both study_types, and flip Human_study to 'yes'.
+    max_spans=1 forces every span into its own chunk."""
+
+    def span(i, text):
+        return {"kind": "section", "text": text, "media_ref": None, "offset": i}
+
+    rows = [
+        (  # markers split from mentions across spans
+            "d_split",
+            [
+                span(0, "the corpus callosum was traced with dti"),
+                span(1, "humans participated in the protocol"),
+                span(2, "a mouse model was also induced"),
+                span(3, "this review covers prior findings"),
+                span(4, "a single study design was considered"),
+            ],
+        ),
+        (  # control: no markers anywhere
+            "d_clean",
+            [
+                span(0, "the fornix was traced in humans"),
+                span(1, "a single study design"),
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    unchunked = extract_triples(build_payload(docs))
+    chunked = extract_chunked(docs, max_spans=1)
+    assert chunked.exceptAll(unchunked).count() == 0
+    assert unchunked.exceptAll(chunked).count() == 0
+    got = {
+        (r["pred"], r["obj"])
+        for r in chunked.filter(F.col("doc_id") == "d_split").collect()
+    }
+    assert ("whitematter_tracts", "corpus callosum") not in got
+    assert ("Human_study", "no") in got and ("Human_study", "yes") not in got
+    assert ("study_type", "review") in got
+    assert ("study_type", "single study") not in got
+
+
 # ---------------------------------------------------------------------------
 # physical-plan quality
 # ---------------------------------------------------------------------------
