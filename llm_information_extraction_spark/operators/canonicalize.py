@@ -35,6 +35,27 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
     return e.filter(F.col("src") != F.col("dst")).dropDuplicates()
 
 
+def _edge_stats(e: DataFrame) -> tuple:
+    """(count, order-independent checksum) of the edge set — one job.
+
+    Equal stats between rounds ⟺ the edge set is stable (up to a ~2⁻⁶⁴
+    checksum collision; the alternation is monotone, so a collision
+    would only end one round early on an already-star-shaped graph).
+    Replaces the two ``exceptAll().limit(1).count()`` jobs per round the
+    round-1 convergence check ran.
+    """
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: order-independent and overflow-free under
+        # ANSI mode (a plain long sum of 2⁶³-scale hashes overflows)
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("chk"),
+    ).first()
+    return (row["n"], row["chk"])
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -48,6 +69,7 @@ def connected_components(
         spark = edges.sparkSession
         return spark.createDataFrame([], "node string, component string")
 
+    prev_stats = _edge_stats(e)
     for _ in range(max_iterations):
         # -- large-star ----------------------------------------------------
         # neighborhoods in both directions
@@ -75,13 +97,12 @@ def connected_components(
         e2 = _canonical_edges(small.union(e1)).localCheckpoint(eager=True)
 
         # converged when the edge set is a star forest pointing at minima
-        # (stable between rounds)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
+        # (stable between rounds) — one aggregate job, not two exceptAlls
+        cur_stats = _edge_stats(e2)
         e = e2
-        if changed == 0:
+        if cur_stats == prev_stats:
             break
+        prev_stats = cur_stats
 
     # after convergence every edge is (member, component-min)
     nodes = e.select(F.col("dst").alias("node")).union(

@@ -12,8 +12,10 @@ Scale notes (100 TB):
 - candidate verification recomputes true n-gram Jaccard only on pairs
   that share a band — the classic MinHash+LSH recipe (Broder '97,
   Leskovec-Rajaraman-Ullman ch.3);
-- SimHash uses 64-bit signatures + 4×16-bit band blocking
-  (Manku-Jain-Sadhwani, WWW'07 pattern).
+- SimHash uses 64-bit signatures + lossless multi-table blocking with
+  ≥16-bit composite keys (Manku-Jain-Sadhwani, WWW'07): d ≤ 3 keys on
+  one 16-bit block (4 tables), d ≤ 6 on 2-of-8-block 16-bit composites
+  (≤28 tables); looser budgets are refused (MinHash is the right tool).
 """
 
 from __future__ import annotations
@@ -220,6 +222,54 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded candidates verified by EXACT n-gram Jaccard →
+    (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+
+    The verify join never shuffles shingle arrays: candidates fan out
+    through an exploded (id, shingle) token table, so the per-pair
+    payload is one shingle string per shared shingle (intersection
+    counting by equi-join), then sizes join in per id. At 100 TB this is
+    the difference between shuffling whole documents per candidate and
+    shuffling only the shared tokens. With ``bands == num_hashes``
+    (r = 1 rows/band) banding recall at j ≥ 0.5 is 1 − (1−j)^64 ≈ 1,
+    making the output equal to the exact-Jaccard pair set — the
+    configuration the driver oracle pins.
+    """
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, seed
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
+    inter = (
+        cands.join(tok.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(tok.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("size_a") + F.col("size_b") - F.col("c"))
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"id": "id_b", "size": "size_b"}), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_groups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -235,25 +285,11 @@ def minhash_dedup_groups(
     of the cluster; singletons omitted."""
     from .canonicalize import connected_components
 
-    cands = minhash_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands, seed
-    )
-    # verify candidates with true Jaccard on the shingle sets (cached:
-    # joined twice — id_a and id_b sides)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).cache()
-    verified = (
-        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").cast("string").alias("src"),
-                F.col("id_b").cast("string").alias("dst"))
+    verified = minhash_verified_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold, seed
+    ).select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
     )
     cc = connected_components(verified)
     return cc.select(
@@ -304,6 +340,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig bigint) via explode → hash → 64 sum-aggregates → pack.
 
@@ -311,18 +348,51 @@ def simhash_signatures(
     xxhash64 bits) but codegen-friendly: bit b is set iff
     Σ bit_b(h) * 2 > n_shingles (i.e. the ±1 sum is ≥ 0; ties → set,
     matching ``sum*2 - count >= 0``).
+
+    ``hash_fn='md5'`` derives the 64 bits from the first 16 hex digits
+    of ``md5(shingle)`` instead (bit b = bit ``3 - b%4`` of hex digit
+    ``b//4``): md5 exists in DuckDB/Postgres/etc., so this variant is
+    reproducible OUTSIDE Spark and drives the driver's bit-exact oracle.
+    xxhash64 stays the default (one 64-bit hash vs 16 conv() calls).
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h"))
+    )
+    if hash_fn == "md5":
+        hexd = F.md5("shingle")
+        src = exploded.select(
+            "id",
+            *[
+                F.conv(F.substring(hexd, i + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"d{i}")
+                for i in range(16)
+            ],
+        )
+
+        def bit(b: int) -> Column:
+            return (
+                F.shiftright(F.col(f"d{b // 4}"), 3 - (b % 4))
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            )
+
+    elif hash_fn == "xxhash64":
+        src = exploded.select("id", F.xxhash64("shingle").alias("h"))
+
+        def bit(b: int) -> Column:
+            return F.shiftrightunsigned(F.col("h"), b).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     aggs = [F.count(F.lit(1)).alias("cnt")] + [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1).cast("long"))
-        ).alias(f"b{b}")
-        for b in range(64)
+        F.sum(bit(b)).alias(f"b{b}") for b in range(64)
     ]
-    sums = exploded.groupBy("id").agg(*aggs)
+    sums = src.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(64):
         mask = F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
@@ -339,25 +409,86 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_block_plan(
+    max_hamming: int, min_key_bits: int = 16, max_tables: int = 70
+) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """Lossless multi-table blocking plan (Manku-Jain-Sadhwani, WWW'07).
+
+    Split 64 bits into ``n_blocks`` blocks and key each table on a
+    combination of ``key_blocks = n_blocks - max_hamming`` blocks: a pair
+    within the Hamming budget corrupts ≤ max_hamming blocks, so at least
+    one table's key blocks are all untouched — lossless by pigeonhole.
+
+    Picks the smallest n_blocks whose key is ≥ ``min_key_bits`` wide
+    (narrow keys degenerate the self-join toward O(n²/2^bits): the
+    round-1 contiguous-band scheme at max_hamming=10 had ≤6-bit keys)
+    and whose table count stays ≤ ``max_tables``. Raises for budgets
+    where no such plan exists (max_hamming ≥ 7 with 16-bit keys) —
+    MinHash-LSH is the right operator for loose thresholds.
+
+    Returns (widths, offsets, tables) where tables enumerates the block
+    index combinations.
+    """
+    from itertools import combinations
+    from math import comb
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be ≥ 0")
+    for n_blocks in range(max_hamming + 1, 33):
+        key_blocks = n_blocks - max_hamming
+        if key_blocks * (64 // n_blocks) < min_key_bits:
+            continue
+        if comb(n_blocks, key_blocks) > max_tables:
+            continue
+        widths = [
+            64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+            for i in range(n_blocks)
+        ]
+        offsets = [sum(widths[:i]) for i in range(n_blocks)]
+        return widths, offsets, list(combinations(range(n_blocks), key_blocks))
+    raise ValueError(
+        f"no lossless SimHash blocking with ≥{min_key_bits}-bit keys and "
+        f"≤{max_tables} tables exists for max_hamming={max_hamming}; use "
+        "minhash_dedup_groups / minhash_verified_pairs for loose "
+        "similarity budgets, or lower min_key_bits explicitly"
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     n: int = 2,
+    hash_fn: str = "xxhash64",
+    min_key_bits: int = 16,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming`` —
+    (id_a, id_b, hamming), id_a < id_b. Lossless (every qualifying pair
+    is emitted): candidates come from the multi-table wide-key blocking
+    of :func:`_simhash_block_plan`, then the exact Hamming filter.
 
-    Blocking (Manku-Jain-Sadhwani, WWW'07): split the 64-bit signature
-    into ``max_hamming + 1`` contiguous bands — by pigeonhole, any pair
-    within the Hamming budget shares at least one exact band, so the
-    block is lossless. Each band is one shuffle of (band, key).
+    Each table is one shuffle keyed by (table, key) with ≥
+    ``min_key_bits``-bit keys, so per-bucket collision lists stay
+    O(n/2^bits) and the self-join cost is O(tables · n) rows in, not
+    O(n²/buckets) out — the property that makes this safe at 100 TB.
     """
-    n_bands = min(max_hamming + 1, 32)
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    widths, offsets, tables = _simhash_block_plan(max_hamming, min_key_bits)
+
+    def block_val(k: int) -> Column:
+        v = F.shiftrightunsigned(F.col("sig"), offsets[k])
+        if widths[k] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[k]) - 1).cast("long"))
+        return v
+
+    def table_key(blocks: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for k in blocks:
+            key = F.shiftleft(key, widths[k]).bitwiseOR(block_val(k))
+        return key
+
     # cached: the banded self-join reads it for both sides
-    sig = simhash_signatures(df, id_col, text_col, n).cache()
+    sig = simhash_signatures(df, id_col, text_col, n, hash_fn).cache()
     banded = sig.select(
         "id",
         "sig",
@@ -365,16 +496,13 @@ def simhash_near_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), offsets[k])
-                        .bitwiseAND(F.lit((1 << widths[k]) - 1))
-                        .alias("key"),
+                        F.lit(t).alias("band"), table_key(blocks).alias("key")
                     )
-                    for k in range(n_bands)
+                    for t, blocks in enumerate(tables)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
     )
@@ -384,7 +512,11 @@ def simhash_near_dup_pairs(
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

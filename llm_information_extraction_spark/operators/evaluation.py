@@ -243,6 +243,9 @@ def binary_metrics(
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
     prec, rec, f1 = _prf(tp, fp, fn)
     return agg.select(
+        # raw confusion counts first: integers can't ulp-mismatch, so
+        # downstream contracts can hash them instead of derived ratios
+        tp, fp, fn, tn,
         ((tp + tn) / (tp + tn + fp + fn)).alias("accuracy"),
         prec.alias("precision"),
         rec.alias("recall"),

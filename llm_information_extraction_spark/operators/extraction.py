@@ -125,9 +125,12 @@ def _cached_regexes() -> dict[str, re.Pattern]:
     return _compile_field_regexes()
 
 
-@lru_cache(maxsize=1)
-def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
-    """One union trie over every field's vocabulary + surface→fields map.
+@lru_cache(maxsize=16)
+def _cached_combined(
+    fields_key: tuple[str, ...] | None = None,
+) -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
+    """One union trie over the requested fields' vocabularies +
+    surface→fields map. ``fields_key=None`` = every gazetteer field.
 
     A single linear scan replaces the 10 per-field scans. Equivalent to
     per-field scanning because :func:`vocab.extraction_rows` guarantees
@@ -137,9 +140,10 @@ def _cached_combined() -> tuple[re.Pattern, dict[str, tuple[str, ...]]]:
     resolves to the same surface either way, and the map fans it out to
     both fields. Colliding eval aliases (e.g. 'ad') are excluded there.
     """
+    wanted = set(_GAZETTEER_FIELDS if fields_key is None else fields_key)
     surf2fields: dict[str, list[str]] = {}
     for field, surface, _canon in vocab.extraction_rows():
-        if field in _GAZETTEER_FIELDS:
+        if field in wanted and field in _GAZETTEER_FIELDS:
             surf2fields.setdefault(surface, []).append(field)
     pattern = re.compile(
         r"(?<![a-z0-9])" + _trie_pattern(list(surf2fields)) + r"(?![a-z0-9])"
@@ -174,9 +178,21 @@ def _cached_rule_regexes() -> dict[str, re.Pattern]:
     return {k: re.compile(p) for k, p in marker_patterns().items()}
 
 
-def _field_matches(text: str) -> dict[str, list[str]]:
+#: gazetteer fields a derived field's rule reads (the scan must include
+#: them even when only the derived field is requested)
+_DERIVED_TRIGGERS: dict[str, frozenset[str]] = {
+    "DTI_study": frozenset({"imaging_modalities"}),
+    "Human_study": frozenset({"subjects"}),
+    "Dementia_study": frozenset({"Disease_study"}),
+    "question_of_study": frozenset({"Disease_study"}),
+}
+
+
+def _field_matches(
+    text: str, fields_key: tuple[str, ...] | None = None
+) -> dict[str, list[str]]:
     """Per-field surface matches from ONE combined trie scan."""
-    rx, surf2fields = _cached_combined()
+    rx, surf2fields = _cached_combined(fields_key)
     out: dict[str, list[str]] = {}
     for m in rx.finditer(text):
         s = m.group(0)
@@ -185,11 +201,31 @@ def _field_matches(text: str) -> dict[str, list[str]]:
     return out
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _extract_batch(
+    pdf: pd.DataFrame, fields: tuple[str, ...] | None = None
+) -> pd.DataFrame:
     """Expects ``payload`` ALREADY normalized (lowercase, collapsed
     whitespace) — :func:`extract_triples` applies normalize_text
     JVM-side so Arrow batches arrive match-ready and the Python side
-    never rescans for case/whitespace."""
+    never rescans for case/whitespace.
+
+    ``fields`` restricts extraction (the no-LUT prompt mode,
+    brain_extraction_no_LUT.py:1-33, is ``fields=('whitematter_tracts',)``):
+    only requested fields are EMITTED; the scan additionally covers the
+    trigger fields a requested derived field reads (_DERIVED_TRIGGERS).
+    """
+    want = None if fields is None else frozenset(fields)
+    if want is None:
+        gaz_key = None
+    else:
+        scan = set(want)
+        for f in want:
+            scan |= _DERIVED_TRIGGERS.get(f, frozenset())
+        gaz_key = tuple(sorted(scan.intersection(_GAZETTEER_FIELDS)))
+
+    def w(field: str) -> bool:
+        return want is None or field in want
+
     rules = _cached_rule_regexes()
     texts = pdf["payload"].fillna("").tolist()
     doc_ids = pdf["doc_id"].astype(str).tolist()
@@ -200,7 +236,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # one combined trie scan + three rule scans per doc; the row loop
     # below never touches pandas
-    matches = [_field_matches(t) for t in texts]
+    matches = [_field_matches(t, gaz_key) for t in texts]
     is_animal = [rules["animal"].search(t) is not None for t in texts]
     is_review = [rules["review"].search(t) is not None for t in texts]
     is_single = [rules["single"].search(t) is not None for t in texts]
@@ -213,6 +249,8 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         animal, review = is_animal[i], is_review[i]
         doc_matches = matches[i]
         for field, vals in doc_matches.items():
+            if not w(field):
+                continue  # trigger-only scan field (fields= restriction)
             if field == "whitematter_tracts" and (animal or review):
                 continue  # pre-filter: MUST return [] (brain_extraction.py:35)
             for v in vals:
@@ -223,22 +261,27 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         subjects = set(doc_matches.get("subjects", _EMPTY))
 
         # yes/no fields — default ["no"] (brain_extraction.py:55)
-        emit(("DTI_study", "yes" if modalities & DIFFUSION_MODALITIES else "no"))
-        emit((
-            "Human_study",
-            "yes" if ("humans" in subjects and not animal) else "no",
-        ))
-        emit(("Dementia_study", "yes" if diseases else "no"))
+        if w("DTI_study"):
+            emit(("DTI_study", "yes" if modalities & DIFFUSION_MODALITIES else "no"))
+        if w("Human_study"):
+            emit((
+                "Human_study",
+                "yes" if ("humans" in subjects and not animal) else "no",
+            ))
+        if w("Dementia_study"):
+            emit(("Dementia_study", "yes" if diseases else "no"))
 
-        if review:
-            emit(("study_type", "review"))
-        elif is_single[i]:
-            emit(("study_type", "single study"))
+        if w("study_type"):
+            if review:
+                emit(("study_type", "review"))
+            elif is_single[i]:
+                emit(("study_type", "single study"))
 
-        for d in diseases:
-            phrase = f"{d} patients vs controls"
-            if phrase in text:
-                emit(("question_of_study", phrase))
+        if w("question_of_study"):
+            for d in diseases:
+                phrase = f"{d} patients vs controls"
+                if phrase in text:
+                    emit(("question_of_study", phrase))
 
         for pred, obj in sorted(triples):
             out_doc.append(doc)
@@ -278,13 +321,25 @@ def merge_binary_yes_wins(mentions: DataFrame) -> DataFrame:
 def extract_triples(
     documents_with_payload: DataFrame,
     payload_col: str = "payload",
+    fields: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """documents(doc_id, payload) → mentions(doc_id, pred, obj).
 
     ``obj`` is the raw matched surface form; run the linking stage
     (:mod:`..operators.linking`) to canonicalize.
+
+    ``fields`` restricts the output schema to a subset of
+    :data:`..vocab.EXTRACTION_FIELDS` — the reference's no-LUT prompt
+    (prompts/brain_extraction_no_LUT.py:1-33) is
+    ``fields=['whitematter_tracts']``.
     """
     from ..functions.normalize import normalize_text
+
+    if fields is not None:
+        fields = tuple(sorted(set(fields)))
+        unknown = set(fields) - set(vocab.EXTRACTION_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown extraction fields: {sorted(unknown)}")
 
     # normalize in the JVM (codegen) so Python receives match-ready text
     src = documents_with_payload.select(
@@ -295,6 +350,6 @@ def extract_triples(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf)
+                yield _extract_batch(pdf, fields)
 
     return src.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -99,10 +99,124 @@ def test_simhash_near_dups(dup_corpus):
     assert sigs[1] != sigs[4]
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_dup_pairs(dup_corpus, max_hamming=12).collect()
+        for r in simhash_near_dup_pairs(
+            # hamming budgets > 6 need an explicit narrow-key opt-in —
+            # fine on a 5-doc corpus, refused by default (scale guard)
+            dup_corpus, max_hamming=12, min_key_bits=4
+        ).collect()
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # one-word edit stays within the budget
+    assert all(4 not in p for p in pairs)
+
+
+def _random_docs(spark, n, words_per_doc=12, vocab=1000):
+    from pyspark.sql import functions as F
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(vocab))
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """Multi-table blocked pairs == brute-force Hamming pairs, at d=3
+    (single-block 16-bit keys) and d=5 (2-of-7-block composite keys)."""
+    from pyspark.sql import functions as F
+
+    from llm_information_extraction_spark.operators.dedup import (
+        hamming64,
+        simhash_signatures,
+    )
+
+    docs = _random_docs(spark, 300, vocab=40).cache()  # small vocab → near dups
+    sig = simhash_signatures(docs, "doc_id", "text").cache()
+    for d in (3, 5):
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in sig.alias("a")
+            .crossJoin(sig.alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                hamming64(F.col("a.sig"), F.col("b.sig")).alias("h"),
+            )
+            .filter(F.col("h") <= d)
+            .collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=d).collect()
+        }
+        assert blocked == brute, f"d={d}: blocked != brute force"
+
+
+def test_simhash_refuses_degenerate_band_widths():
+    import pytest as _pytest
+
+    from llm_information_extraction_spark.operators.dedup import (
+        _simhash_block_plan,
+    )
+
+    with _pytest.raises(ValueError, match="minhash"):
+        _simhash_block_plan(10)  # the round-1 scale-killer budget
+    widths, _, tables = _simhash_block_plan(3)
+    assert len(tables) == 4 and all(len(t) == 1 for t in tables)
+    widths6, _, tables6 = _simhash_block_plan(6)
+    # composite 2-of-8-block keys: 16-bit effective width, 28 tables
+    assert all(len(t) == 2 for t in tables6) and len(tables6) == 28
+
+
+def test_simhash_candidate_pairs_stay_linear(spark):
+    """On 10⁵ random docs the per-table buckets must spread: total
+    candidate pairs Σ c·(c−1)/2 stays O(n), nowhere near the O(n²/2^bits)
+    a narrow-key scheme produces."""
+    from pyspark.sql import functions as F
+
+    from llm_information_extraction_spark.operators.dedup import (
+        _simhash_block_plan,
+        simhash_signatures,
+    )
+
+    n = 100_000
+    docs = _random_docs(spark, n)
+    widths, offsets, tables = _simhash_block_plan(3)
+    sig = simhash_signatures(docs, "doc_id", "text")
+    key_cols = []
+    for t, blocks in enumerate(tables):
+        key = F.lit(0).cast("long")
+        for k in blocks:
+            key = F.shiftleft(key, widths[k]).bitwiseOR(
+                F.shiftrightunsigned(F.col("sig"), offsets[k]).bitwiseAND(
+                    F.lit((1 << widths[k]) - 1).cast("long")
+                )
+            )
+        key_cols.append(F.struct(F.lit(t).alias("band"), key.alias("key")))
+    buckets = (
+        sig.select(F.explode(F.array(*key_cols)).alias("bk"))
+        .groupBy("bk.band", "bk.key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = buckets.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+    ).first()["pairs"]
+    assert cand <= 20 * n, f"{cand} candidate pairs for n={n}"
+
+
+def test_simhash_md5_variant_finds_exact_dups(dup_corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            dup_corpus, max_hamming=3, hash_fn="md5"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(2, 5)] == 0 and pairs[(1, 5)] == 0
     assert all(4 not in p for p in pairs)
 
 

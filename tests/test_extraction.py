@@ -134,6 +134,46 @@ def test_json_payload_roundtrip(spark, docs):
     assert plain.exceptAll(as_json).count() == 0
 
 
+def test_fields_restricted_extraction_no_lut(spark):
+    """fields=['whitematter_tracts'] == the reference's no-LUT prompt
+    (prompts/brain_extraction_no_LUT.py:1-33): single-field output, no
+    binary defaults, pre-filter still applies."""
+    rows = [
+        ("d1", "the corpus callosum in humans with dti"),
+        ("d2", "nothing relevant here"),
+        ("d3", "corpus callosum in a mouse model"),  # pre-filter → []
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload string")
+    got = {
+        (r["doc_id"], r["pred"], r["obj"])
+        for r in extract_triples(df, fields=["whitematter_tracts"]).collect()
+    }
+    assert got == {("d1", "whitematter_tracts", "corpus callosum")}
+
+
+def test_fields_restricted_derived_field_sees_trigger(spark):
+    df = spark.createDataFrame(
+        [("d1", "alzheimers disease patients enrolled"), ("d2", "plain text")],
+        "doc_id string, payload string",
+    )
+    got = {
+        (r["doc_id"], r["pred"], r["obj"])
+        for r in extract_triples(df, fields=["Dementia_study"]).collect()
+    }
+    # Dementia derives from the Disease_study scan, but Disease_study
+    # rows themselves are not emitted
+    assert got == {
+        ("d1", "Dementia_study", "yes"),
+        ("d2", "Dementia_study", "no"),
+    }
+
+
+def test_fields_restriction_rejects_unknown_field(spark):
+    df = spark.createDataFrame([("d1", "x")], "doc_id string, payload string")
+    with pytest.raises(ValueError, match="unknown extraction fields"):
+        extract_triples(df, fields=["not_a_field"])
+
+
 def test_abstract_mode_filters_kinds(spark, docs):
     pay = build_payload(docs, mode="abstract").select("payload").limit(5).collect()
     for r in pay:
