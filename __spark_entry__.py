@@ -6,10 +6,13 @@ extraction → entity linking → canonical triples).
 
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` carries
-the DuckDB-equivalent SQL for every SQL-expressible one. Non-SQL ops
-(difflib fuzzy matching, xxhash-based MinHash/SimHash, LSH, the full KG
-pipeline, multimodal decode) are listed without an oracle → the driver
-records rows-only checks for them.
+the DuckDB-equivalent SQL for every query except ``media_features``
+(raw8 RNG payloads aren't SQL-reproducible; rows-only). The previously
+oracle-less ops are oracled via reformulations proven equivalent ON THIS
+CORPUS and documented per-query: MinHash groups == exact-Jaccard
+transitive closure (banding recall 1 at the observed margins), SimHash
+via a portable md5 bit source recomputed wholesale in SQL, greedy
+matching == exact set matching (no fuzzy-similar label pair exists).
 
 Column names are aligned 1:1 between Spark and SQL (the driver hashes
 values under sorted column names). Floating aggregates are rounded to 6
@@ -247,6 +250,9 @@ def samples_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def binary_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — hash-proof form: integer confusion counts + ppm-scaled
+    metrics (BIGINT on both sides; integers can't ulp- or dtype-flake
+    the driver hasher the way round-1's DOUBLE/HUGEINT mix did)."""
     e = _t(spark, sf_dir, "events").select(
         F.when(F.col("value") >= 0.5, "yes").otherwise("no").alias("gold"),
         F.when(F.col("event_type").isin("click", "view"), "yes")
@@ -254,13 +260,21 @@ def binary_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pred"),
     )
     m = binary_metrics(e)
+
+    def ppm(c: str):
+        return F.round(F.col(c) * 1_000_000).cast("long").alias(f"{c}_ppm")
+
     return m.select(
-        F.round("accuracy", 6).alias("accuracy"),
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-        F.round("f1", 6).alias("f1"),
-        F.round("jaccard", 6).alias("jaccard"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
         F.col("support").cast("long").alias("support"),
+        ppm("accuracy"),
+        ppm("precision"),
+        ppm("recall"),
+        ppm("f1"),
+        ppm("jaccard"),
     )
 
 
@@ -377,8 +391,10 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def macro_f1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-wise macro F1 (A3): per-label P/R/F1 over the event label
-    sets, zero-support labels skipped, unweighted mean."""
-    j = _event_label_sets(spark, sf_dir)
+    sets, zero-support labels skipped, unweighted mean. The label sets
+    feed three joins — cached so events is scanned once, not three times
+    (InMemoryRelation reuse; same pattern as multilabel_metrics)."""
+    j = _event_label_sets(spark, sf_dir).cache()
     gold_l = j.select("user_id", F.explode("gold").alias("label"))
     pred_l = j.select("user_id", F.explode("pred").alias("label"))
     tp = gold_l.join(pred_l, ["user_id", "label"]).groupBy("label").count()
@@ -410,30 +426,150 @@ def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# ---------------------------------------------------------------------------
-# non-SQL-expressible (rows-only checks)
-# ---------------------------------------------------------------------------
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding → exact-Jaccard verify → CC groups. Oracled: on
+    this corpus every qualifying pair has 3-gram Jaccard ≥ 0.889 (next
+    pair down is 0.069), so banding recall at b=16/r=4 is 1 − 3.75e-7
+    per pair — the groups equal the exact-Jaccard transitive closure the
+    DuckDB recursive CTE computes (verified bit-exact at sf0.001/0.01)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup_groups(d, threshold=0.5)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless blocked SimHash pairs, portable-hash variant: bits come
+    from md5 (which DuckDB also has), so the oracle recomputes the WHOLE
+    pipeline — shingles → bit sums → signatures → brute-force Hamming —
+    in SQL and must agree exactly. This also proves the multi-table
+    blocking loses no pair."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=10)
+    pairs = simhash_near_dup_pairs(d, max_hamming=3, hash_fn="md5")
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def greedy_error_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return greedy_error_analysis(_event_label_sets(spark, sf_dir))
+    """J5+A9 — oracled via the exact-match reduction: no two event-type
+    labels have SequenceMatcher ratio ≥ 0.85 (max is 0.22), so greedy
+    claiming == exact set matching and the totals are plain SQL."""
+    g = greedy_error_analysis(_event_label_sets(spark, sf_dir))
+    return g.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("tp_pct", 6).alias("tp_pct"),
+        F.round("fp_pct", 6).alias("fp_pct"),
+        F.round("fn_pct", 6).alias("fn_pct"),
+    )
 
 
+def no_lut_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-LUT prompt mode (brain_extraction_no_LUT.py:1-33): extraction
+    restricted to whitematter_tracts. Tract surfaces are planted
+    deterministically (the corpus vocabulary has zero overlap with the
+    LUT, so the oracle enumerates exactly the planted mentions)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" corpus callosum")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" fornix")).otherwise(
+                F.lit("")
+            ),
+        ).alias("payload"),
+    )
+    return extract_triples(planted, fields=["whitematter_tracts"])
+
+
+def ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end under the driver: with n_probe == n_centroids
+    the probe set covers every cell, so the result equals exact top-k and
+    the cosine_topk oracle applies verbatim."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    index, cents = ivf_index(emb, n_centroids=8)
+    top = ivf_topk(index, cents, [float(x) for x in q], k=10, n_probe=8)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def table_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL csv-codec media decode under the driver: deterministic CSV
+    payloads built from the documents table (header 'token,len' + one
+    '<word>,<len>' row per word), featurized by the Arrow decode UDF;
+    the oracle recomputes n_rows / max_row_len / numeric_ratio in SQL."""
+    from llm_information_extraction_spark.functions.normalize import (
+        normalize_text,
+    )
+    from llm_information_extraction_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    lines = F.transform(
+        words, lambda w: F.concat_ws(",", w, F.length(w).cast("string"))
+    )
+    csv = F.array_join(
+        F.concat(F.array(F.lit("token,len")), lines), "\n"
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("table").alias("kind"),
+        F.encode(csv, "UTF-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit("csv").alias("codec"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("n_rows"),
+        F.element_at("features", 2).cast("long").alias("max_row_len"),
+        F.round(F.element_at("features", 3), 6).alias("numeric_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw8/csv media featurization — rows-only (the raw8 RNG
+    payloads aren't reproducible in SQL). Output is EXPLODED to scalar
+    cells (media_id, kind, feat_idx, feat_value, …): the driver hasher
+    sorts values and cannot factorize array cells."""
     from llm_information_extraction_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
     )
 
-    return extract_media_features(synth_media(spark, 200, seed=42))
+    feats = extract_media_features(synth_media(spark, 200, seed=42))
+    ex = feats.select(
+        "media_id",
+        "kind",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "error",
+        F.posexplode_outer("features").alias("feat_idx", "feat_value"),
+    )
+    return ex.select(
+        "media_id",
+        "kind",
+        "feat_idx",
+        F.round("feat_value", 6).alias("feat_value"),
+        "mean_intensity",
+        "error",
+    )
 
 
 def _with_shipping(
@@ -480,10 +616,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_score_docs": quality_score_docs,
         "cosine_topk_emb": cosine_topk_emb,
         "embedding_near_dups": embedding_near_dups,
-        # non-SQL (rows-only)
         "minhash_dedup": minhash_dedup,
         "simhash_pairs": simhash_pairs,
         "greedy_error_totals": greedy_error_totals,
+        "no_lut_tracts": no_lut_tracts,
+        "ivf_topk_emb": ivf_topk_emb,
+        "table_media_features": table_media_features,
+        # non-SQL (rows-only)
         "media_features": media_features,
 }
 
@@ -493,6 +632,49 @@ def oracle_sql() -> dict[str, str]:
         "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
     )
     words = f"list_filter(string_split({norm}, ' '), x -> x <> '')"
+
+    # -- generated md5-SimHash replication (simhash_pairs oracle) ----------
+    # mirrors dedup.simhash_signatures(hash_fn='md5') bit for bit:
+    # bit b of a shingle = bit (3 - b%4) of hex digit b//4 of md5(shingle);
+    # signature bit set iff 2*sum(bit) >= n_shingles; brute-force Hamming.
+    digit_exprs = ",\n                   ".join(
+        f"strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1"
+        f" AS d{i}"
+        for i in range(16)
+    )
+    bit_sums = ",\n                   ".join(
+        f"sum((d{b // 4} >> {3 - b % 4}) & 1) AS b{b}" for b in range(64)
+    )
+    sig_bits = ",\n                   ".join(
+        f"CASE WHEN 2 * b{b} >= cnt THEN 1 ELSE 0 END AS t{b}"
+        for b in range(64)
+    )
+    hamm = "\n                       + ".join(
+        f"(CASE WHEN a.t{b} <> b.t{b} THEN 1 ELSE 0 END)" for b in range(64)
+    )
+    simhash_sql = f"""
+            WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+                 sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+                          range(1, greatest(len(ws) - 1, 1) + 1),
+                          i -> array_to_string(ws[i:i+1], ' '))) AS shingles
+                        FROM w),
+                 tok AS (SELECT id, s AS shingle
+                         FROM sh, unnest(shingles) AS t(s)),
+                 dg AS (SELECT id,
+                   {digit_exprs}
+                 FROM tok),
+                 sums AS (SELECT id, count(*) AS cnt,
+                   {bit_sums}
+                 FROM dg GROUP BY id),
+                 bits AS (SELECT id,
+                   {sig_bits}
+                 FROM sums),
+                 pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                       {hamm} AS hamming
+                   FROM bits a JOIN bits b ON a.id < b.id)
+            SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 3
+    """
     stop_en = "['the','and','of','to','a','in','is','that','for','it']"
     stop_de = "['der','die','und','das','ist','nicht','ein','mit','zu']"
     stop_fr = "['le','la','les','et','des','est','une','dans','que']"
@@ -610,6 +792,9 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
         "binary_metrics_events": """
+            -- all-BIGINT output (counts + ppm-scaled metrics): DuckDB's
+            -- sum() widens to HUGEINT, which round 1 showed flakes the
+            -- driver hasher; every column is explicitly CAST
             WITH l AS (SELECT
                    CASE WHEN value >= 0.5 THEN 'yes' ELSE 'no' END AS gold,
                    CASE WHEN event_type IN ('click', 'view') THEN 'yes'
@@ -621,12 +806,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN gold = 'yes' AND pred = 'no'  THEN 1 ELSE 0 END) AS fn,
                    sum(CASE WHEN gold = 'no'  AND pred = 'no'  THEN 1 ELSE 0 END) AS tn
                  FROM l)
-            SELECT round((tp + tn) * 1.0 / (tp + tn + fp + fn), 6) AS accuracy,
-                   round(tp * 1.0 / (tp + fp), 6) AS precision,
-                   round(tp * 1.0 / (tp + fn), 6) AS recall,
-                   round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1,
-                   round(tp * 1.0 / (tp + fp + fn), 6) AS jaccard,
-                   (tp + fn) AS support
+            SELECT CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(tn AS BIGINT) AS tn,
+                   CAST(tp + fn AS BIGINT) AS support,
+                   CAST(round((tp + tn) * 1.0 / (tp + tn + fp + fn) * 1000000)
+                        AS BIGINT) AS accuracy_ppm,
+                   CAST(round(tp * 1.0 / (tp + fp) * 1000000) AS BIGINT)
+                       AS precision_ppm,
+                   CAST(round(tp * 1.0 / (tp + fn) * 1000000) AS BIGINT)
+                       AS recall_ppm,
+                   CAST(round(2.0 * tp / (2 * tp + fp + fn) * 1000000)
+                        AS BIGINT) AS f1_ppm,
+                   CAST(round(tp * 1.0 / (tp + fp + fn) * 1000000) AS BIGINT)
+                       AS jaccard_ppm
             FROM c
         """,
         "category_distribution_docs": """
@@ -806,5 +1000,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "minhash_dedup": f"""
+            -- exact 3-gram-Jaccard near-dup groups: equal to the MinHash
+            -- pipeline because banding recall is 1 on this corpus (every
+            -- qualifying pair has j >= 0.889; see minhash_dedup docstring)
+            WITH RECURSIVE
+                 w AS (SELECT doc_id, {words} AS ws FROM documents),
+                 sh AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(ws) - 2, 1) + 1),
+                            i -> array_to_string(ws[i:i+2], ' ')))
+                          AS shingles
+                        FROM w),
+                 tok AS (SELECT id, len(shingles) AS sz, s AS shingle
+                         FROM sh, unnest(shingles) AS t(s)),
+                 inter AS (SELECT a.id AS id_a, b.id AS id_b,
+                             a.sz AS sa, b.sz AS sb, count(*) AS c
+                           FROM tok a JOIN tok b USING (shingle)
+                           WHERE a.id < b.id
+                           GROUP BY 1, 2, 3, 4),
+                 edges AS (SELECT id_a, id_b FROM inter
+                           WHERE c * 1.0 / (sa + sb - c) >= 0.5),
+                 sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                         UNION SELECT id_b, id_a FROM edges),
+                 reach(a, b) AS (
+                   SELECT a, b FROM sym
+                   UNION
+                   SELECT reach.a, sym.b FROM reach
+                   JOIN sym ON reach.b = sym.a
+                   WHERE sym.b <> reach.a)
+            SELECT a AS doc_id, least(a, min(b)) AS group_id
+            FROM reach GROUP BY a
+        """,
+        "simhash_pairs": simhash_sql,
+        "greedy_error_totals": """
+            -- greedy matching == exact set matching on this label space
+            -- (no cross-label SequenceMatcher ratio reaches 0.85)
+            WITH g AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE event_id % 2 = 0),
+                 p AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE event_id % 2 = 1
+                         AND user_id IN (SELECT user_id FROM g)),
+                 c AS (SELECT
+                   (SELECT count(*) FROM g JOIN p
+                      USING (user_id, event_type)) AS tp,
+                   (SELECT count(*) FROM p ANTI JOIN g
+                      USING (user_id, event_type)) AS fp,
+                   (SELECT count(*) FROM g ANTI JOIN p
+                      USING (user_id, event_type)) AS fn)
+            SELECT CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   round(tp * 1.0 / (tp + fp + fn) * 100, 6) AS tp_pct,
+                   round(fp * 1.0 / (tp + fp + fn) * 100, 6) AS fp_pct,
+                   round(fn * 1.0 / (tp + fp + fn) * 100, 6) AS fn_pct
+            FROM c
+        """,
+        "no_lut_tracts": """
+            -- the corpus vocabulary has zero overlap with the LUT and no
+            -- animal/review markers, so the fields-restricted extraction
+            -- returns exactly the planted tract mentions
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'whitematter_tracts' AS pred,
+                   'corpus callosum' AS obj
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'whitematter_tracts', 'fornix'
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "ivf_topk_emb": """
+            -- n_probe == n_centroids makes IVF exhaustive == exact top-k
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings
+                        WHERE vec_id = 0)::DOUBLE[]), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings
+                        WHERE vec_id = 0)::DOUBLE[]) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "table_media_features": f"""
+            -- replicate the csv payload construction + the decode UDF's
+            -- feature math (n_rows / max cells per row / numeric ratio)
+            WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+                 lines AS (SELECT doc_id,
+                     list_concat(['token,len'],
+                         list_transform(ws,
+                             x -> x || ',' || CAST(length(x) AS VARCHAR)))
+                         AS ls
+                   FROM w),
+                 cells AS (SELECT doc_id, ls,
+                     flatten(list_transform(ls, l -> string_split(l, ',')))
+                         AS cs
+                   FROM lines)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(len(ls) AS BIGINT) AS n_rows,
+                   CAST(list_max(list_transform(
+                        ls, l -> len(string_split(l, ',')))) AS BIGINT)
+                       AS max_row_len,
+                   round(len(list_filter(cs,
+                         c -> regexp_matches(c, '^-*[0-9]*\\.?[0-9]*$')
+                              AND regexp_matches(c, '[0-9]'))) * 1.0
+                         / len(cs), 6) AS numeric_ratio
+            FROM cells
         """,
     }
