@@ -432,7 +432,9 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair down is 0.069), so banding recall at b=16/r=4 is 1 − 3.75e-7
     per pair — the groups equal the exact-Jaccard transitive closure the
     DuckDB recursive CTE computes (verified bit-exact at sf0.001/0.01)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_dedup_groups(d, threshold=0.5)
 
 
@@ -442,7 +444,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — shingles → bit sums → signatures → brute-force Hamming —
     in SQL and must agree exactly. This also proves the multi-table
     blocking loses no pair."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = simhash_near_dup_pairs(d, max_hamming=3, hash_fn="md5")
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -469,7 +473,9 @@ def no_lut_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to whitematter_tracts. Tract surfaces are planted
     deterministically (the corpus vocabulary has zero overlap with the
     LUT, so the oracle enumerates exactly the planted mentions)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     planted = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(

@@ -55,6 +55,11 @@ HEADLINE = [
     "embedding_near_dups",
     "minhash_dedup",
     "simhash_pairs",
+    # round-2 additions
+    "greedy_error_totals",
+    "no_lut_tracts",
+    "table_media_features",
+    "ivf_topk_emb",
 ]
 
 
@@ -69,7 +74,8 @@ def run_headline() -> dict:
     # path, trie compilation and the broadcast gazetteer — standard
     # steady-state benchmarking; the timed numbers below are real walls
     qs = entrymod.queries()
-    for warm_q in ("kg_triples", "minhash_dedup", "simhash_pairs"):
+    for warm_q in ("kg_triples", "minhash_dedup", "simhash_pairs",
+                   "ivf_topk_emb"):
         qs[warm_q](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     kg_rows = 0

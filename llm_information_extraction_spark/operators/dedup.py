@@ -247,10 +247,22 @@ def minhash_verified_pairs(
     """
     cands = minhash_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, seed
+    ).cache()
+    # only candidate-involved docs need their shingles re-derived: the
+    # candidate id set is O(dup_rate·n) ≪ corpus by construction, so it
+    # broadcasts and the token table is pre-pruned WITHOUT a shuffle
+    # (otherwise the second equi-join shuffles every doc's tokens)
+    cand_ids = F.broadcast(
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .join(cand_ids, "id", "leftsemi")
     )
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
     inter = (
