@@ -61,3 +61,45 @@ def incremental_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_unique_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming CROSS-BATCH exact dedup: the stateful operator a 100 TB
+    ingest pipeline runs in front of extraction.
+
+    ``dropDuplicates`` on a streaming DataFrame keeps the seen-key set in
+    the state store (checkpointed, survives restarts), so a document
+    whose content fingerprint arrived in ANY earlier micro-batch is
+    suppressed — not just within the batch. State holds only the 32-char
+    fingerprint per distinct document, never text. The sink is Spark's
+    transactional file sink (_spark_metadata commit log → exactly-once).
+
+    Returns the StreamingQuery; output rows are (doc_id, fp, payload).
+    """
+    from ..functions.textmetrics import doc_fingerprint
+    from ..operators.payload import build_payload
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    with_fp = build_payload(stream).select(
+        "doc_id", doc_fingerprint("payload").alias("fp"), "payload"
+    )
+    unique = with_fp.dropDuplicates(["fp"])
+    writer = (
+        unique.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -19,6 +19,7 @@ from llm_information_extraction_spark.sources.ingest import (
 from llm_information_extraction_spark.sources.synthetic import generate_documents
 from llm_information_extraction_spark.streaming.incremental import (
     incremental_triples,
+    incremental_unique_documents,
 )
 
 
@@ -92,6 +93,34 @@ def test_streaming_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path):
+    """Stateful dropDuplicates suppresses duplicates ACROSS micro-batches:
+    re-ingesting the same documents in a later batch adds zero rows, new
+    documents still land."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs_a = generate_documents(spark, 30, seed=50)
+    docs_a.write.parquet(in_dir)
+    q = incremental_unique_documents(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    out_a = spark.read.parquet(out_dir)
+    n_a = out_a.count()
+    assert n_a == out_a.select("fp").distinct().count()
+
+    # batch 2: the SAME 30 docs again (cross-batch duplicates) + 20 new
+    docs_a.write.mode("append").parquet(in_dir)
+    generate_documents(spark, 20, seed=51).write.mode("append").parquet(in_dir)
+    q2 = incremental_unique_documents(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    out_all = spark.read.parquet(out_dir)
+    n_all = out_all.count()
+    assert n_all == out_all.select("fp").distinct().count()
+    assert n_all > n_a  # new docs landed
+    assert n_all < n_a + 30 + 20  # replayed docs were suppressed
 
 
 def test_streaming_sink_idempotent_on_batch_replay(spark, tmp_path):
