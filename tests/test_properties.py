@@ -68,6 +68,45 @@ def test_jaccard_bounds(spark, gold, pred):
         assert j == 1.0
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.data(),
+)
+def test_simhash_block_plan_pigeonhole(d, sig, data):
+    """Pure-Python property behind the lossless blocking claim: flip any
+    ≤ d bits of any 64-bit signature — at least one table's key blocks
+    stay untouched, so the pair shares a (table, key) bucket."""
+    from llm_information_extraction_spark.operators.dedup import (
+        _simhash_block_plan,
+    )
+
+    widths, offsets, tables = _simhash_block_plan(d)
+    n_flips = data.draw(st.integers(min_value=0, max_value=d))
+    flip_bits = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=63),
+            min_size=n_flips,
+            max_size=n_flips,
+            unique=True,
+        )
+    )
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+
+    def key(s, blocks):
+        k = 0
+        for i in blocks:
+            k = (k << widths[i]) | ((s >> offsets[i]) & ((1 << widths[i]) - 1))
+        return k
+
+    assert any(key(sig, t) == key(other, t) for t in tables)
+    # and every key is at least 16 bits wide (the scale guarantee)
+    assert all(sum(widths[i] for i in t) >= 16 for t in tables)
+
+
 def test_fuzzy_threshold_monotonicity(spark):
     """Raising the similarity threshold can only shrink the linked set."""
     from llm_information_extraction_spark.operators.linking import (
