@@ -547,6 +547,27 @@ def table_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization (SURVEY §2.7): the ``entities`` dimension
+    built by large-star/small-star connected components over the alias
+    graph. The oracle inlines the same 409 vocabulary rows as VALUES and
+    recomputes components via a recursive CTE, the representative
+    canonical via count-then-value arg-max, and the sorted alias list —
+    so the distributed CC implementation is value-checked end-to-end."""
+    from llm_information_extraction_spark.operators.canonicalize import (
+        build_entities,
+    )
+
+    e = build_entities(vocabulary_df(spark))
+    return e.select(
+        "entity_id",
+        "field",
+        "canonical",
+        F.concat_ws("|", "aliases").alias("aliases"),
+        F.col("n_aliases").cast("long").alias("n_aliases"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -628,6 +649,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "no_lut_tracts": no_lut_tracts,
         "ivf_topk_emb": ivf_topk_emb,
         "table_media_features": table_media_features,
+        "entity_table": entity_table,
         # non-SQL (rows-only)
         "media_features": media_features,
 }
@@ -657,6 +679,16 @@ def oracle_sql() -> dict[str, str]:
     )
     hamm = "\n                       + ".join(
         f"(CASE WHEN a.t{b} <> b.t{b} THEN 1 ELSE 0 END)" for b in range(64)
+    )
+
+    # -- generated entities oracle: inline the vocabulary as VALUES --------
+    from llm_information_extraction_spark import vocab as _vocab
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vocab_values = ",\n                 ".join(
+        f"({_q(f)}, {_q(s)}, {_q(c)})" for f, s, c in _vocab.gazetteer_rows()
     )
     simhash_sql = f"""
             WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
@@ -1113,5 +1145,53 @@ def oracle_sql() -> dict[str, str]:
                               AND regexp_matches(c, '[0-9]'))) * 1.0
                          / len(cs), 6) AS numeric_ratio
             FROM cells
+        """,
+        "entity_table": f"""
+            -- recompute build_entities in SQL: per-field connected
+            -- components over surface<->canonical alias edges (recursive
+            -- closure == the large-star/small-star fixpoint), entity_id =
+            -- lexicographically smallest member, canonical = arg-max by
+            -- (vote count, value), aliases = sorted member list
+            WITH RECURSIVE vocab(field, surface, canonical) AS (VALUES
+                 {vocab_values}),
+                 edges AS (SELECT DISTINCT field,
+                             least(surface, canonical) AS a,
+                             greatest(surface, canonical) AS b
+                           FROM vocab WHERE surface <> canonical),
+                 sym AS (SELECT field, a, b FROM edges
+                         UNION SELECT field, b, a FROM edges),
+                 reach(field, a, b) AS (
+                   SELECT field, a, b FROM sym
+                   UNION
+                   SELECT r.field, r.a, s.b FROM reach r
+                   JOIN sym s ON r.field = s.field AND r.b = s.a
+                   WHERE s.b <> r.a),
+                 comp AS (SELECT field, a AS node, least(a, min(b)) AS component
+                          FROM reach GROUP BY field, a),
+                 allnodes AS (SELECT DISTINCT field, surface AS node FROM vocab
+                              UNION
+                              SELECT DISTINCT field, canonical FROM vocab),
+                 members AS (SELECT n.field, n.node AS alias,
+                               coalesce(c.component, n.node) AS entity_id
+                             FROM allnodes n LEFT JOIN comp c
+                               ON n.field = c.field AND n.node = c.node),
+                 votes AS (SELECT m.field, m.entity_id, v.canonical,
+                             count(*) AS cnt
+                           FROM vocab v JOIN members m
+                             ON v.field = m.field AND v.surface = m.alias
+                           GROUP BY 1, 2, 3),
+                 top AS (SELECT field, entity_id, canonical FROM votes
+                         QUALIFY row_number() OVER (
+                           PARTITION BY field, entity_id
+                           ORDER BY cnt DESC, canonical DESC) = 1),
+                 agg AS (SELECT field, entity_id,
+                           list_sort(list_distinct(list(alias))) AS aliases
+                         FROM members GROUP BY 1, 2)
+            SELECT a.entity_id, a.field,
+                   coalesce(t.canonical, a.entity_id) AS canonical,
+                   array_to_string(a.aliases, '|') AS aliases,
+                   CAST(len(a.aliases) AS BIGINT) AS n_aliases
+            FROM agg a LEFT JOIN top t
+              ON a.field = t.field AND a.entity_id = t.entity_id
         """,
     }
