@@ -1,0 +1,197 @@
+"""Event-time streaming operators: watermarked windows + custom state.
+
+Extensions beyond the (batch-only) reference, built on the events table
+shape (event_id, ts, user_id, event_type, value, props):
+
+- :func:`windowed_event_counts` — tumbling event-time windows with a
+  watermark: late rows within the watermark still land in their window,
+  rows older than the watermark are dropped, and a window is emitted
+  (append mode) exactly once, when the watermark passes its end. This is
+  the standard Structured Streaming recipe — state per open window only,
+  so it runs at any scale.
+- :func:`sessionize_users` — custom stateful operator via
+  ``applyInPandasWithState``: gap-based user sessionization. State per
+  user is one 4-tuple; sessions close by EVENT-TIME timeout (watermark
+  passing last_event + gap), so idle users don't leak state. The pattern
+  generalizes to any per-entity accumulator the built-in aggregates
+  can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    available_now: bool = True,
+):
+    """Tumbling-window counts/averages per event_type with late-data
+    tolerance = ``watermark``. Append mode: each window row is final."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer. Emits one row per CLOSED session."""
+    gap_ms = 30 * 60 * 1000  # 30-minute inactivity gap
+
+    def close(start_ms: int, last_ms: int, n: int, tot: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "session_start": pd.Timestamp(start_ms, unit="ms"),
+                    "session_end": pd.Timestamp(last_ms, unit="ms"),
+                    "n_events": n,
+                    "total_value": tot,
+                }
+            ]
+        )
+
+    if state.hasTimedOut:
+        start_ms, last_ms, n, tot = state.get
+        state.remove()
+        yield close(start_ms, last_ms, n, tot)
+        return
+
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values("ts")
+    ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+    values = rows["value"].fillna(0.0).tolist()
+
+    if state.exists:
+        start_ms, last_ms, n, tot = state.get
+    else:
+        start_ms, last_ms, n, tot = ts_ms[0], ts_ms[0], 0, 0.0
+
+    out: list[pd.DataFrame] = []
+    for t, v in zip(ts_ms, values):
+        if n > 0 and t - last_ms > gap_ms:
+            out.append(close(start_ms, last_ms, n, tot))
+            start_ms, n, tot = t, 0, 0.0
+        last_ms = max(last_ms, t)
+        n += 1
+        tot += float(v)
+
+    state.update((start_ms, last_ms, n, tot))
+    # close the session when the WATERMARK (event time, not wall clock)
+    # passes last event + gap — idle users cost one tuple until then
+    state.setTimeoutTimestamp(last_ms + gap_ms)
+    yield from out
+
+
+def sessionize_users(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Custom stateful operator: per-user session rows via
+    ``applyInPandasWithState`` with event-time timeouts."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,109 @@
+"""Event-time streaming semantics: watermarked windows + custom state.
+
+Timestamps are hand-placed so watermark positions are exact:
+- watermark = max(ts seen) − delay, checkpointed across runs;
+- append-mode windows emit once the watermark passes their end;
+- rows older than the watermark are DROPPED (late-data bound);
+- applyInPandasWithState sessions close via event-time timeout.
+"""
+
+import datetime as dt
+
+from llm_information_extraction_spark.streaming.stateful import (
+    EVENTS_SCHEMA,
+    sessionize_users,
+    windowed_event_counts,
+)
+
+
+def _ev(eid, hhmm, user, etype, value):
+    h, m = divmod(hhmm, 100)
+    return (
+        eid,
+        dt.datetime(2024, 1, 1, h, m),
+        user,
+        etype,
+        float(value),
+        "{}",
+    )
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_windowed_counts_emit_once_and_drop_too_late_rows(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: three clicks inside [10:00, 10:10) + a 11:00 row that
+    # advances the watermark to 10:40 (delay 20 min)
+    _write(
+        spark,
+        [
+            _ev(1, 1001, 1, "click", 1.0),
+            _ev(2, 1003, 2, "click", 2.0),
+            _ev(3, 1005, 3, "click", 3.0),
+            _ev(4, 1100, 4, "view", 9.0),
+        ],
+        in_dir,
+    )
+    q = windowed_event_counts(spark, in_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: a too-late click at 10:02 (watermark already 10:40 →
+    # dropped, must NOT bump the closed window) + a fresh 11:30 row
+    _write(spark, [_ev(5, 1002, 5, "click", 99.0), _ev(6, 1130, 6, "view", 1.0)], in_dir)
+    q2 = windowed_event_counts(spark, in_dir, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["window_start"].time().isoformat(), r["event_type"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("10:00:00", "click", 3) in got  # NOT 4 — late row dropped
+    assert ("11:00:00", "view", 1) in got  # closed by the 11:30 watermark
+    assert not any(n == 4 for _, _, n in got)
+    # the 11:30 window is still open (watermark 11:10) → not emitted
+    assert not any(s == "11:30:00" for s, _, _ in got)
+
+
+def test_sessionize_users_event_time_timeout(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # user 7: three events within the 30-min gap; user 8: one event;
+    # user 99 at 13:00 pushes the watermark to 12:50 (delay 10 min),
+    # far past both users' last_event + gap → their sessions time out
+    _write(
+        spark,
+        [
+            _ev(1, 1000, 7, "click", 1.0),
+            _ev(2, 1002, 7, "view", 2.0),
+            _ev(3, 1005, 7, "click", 3.0),
+            _ev(4, 1001, 8, "view", 5.0),
+            _ev(5, 1300, 99, "click", 0.0),
+        ],
+        in_dir,
+    )
+    q = sessionize_users(spark, in_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    # second run: user 99 stays active (13:10 within gap) — only the
+    # timed-out sessions of users 7 and 8 may ever be emitted
+    _write(spark, [_ev(6, 1310, 99, "click", 0.0)], in_dir)
+    q2 = sessionize_users(spark, in_dir, out, ckpt)
+    q2.awaitTermination(120)
+
+    rows = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {7, 8}
+    s7 = rows[7]
+    assert s7["n_events"] == 3 and s7["total_value"] == 6.0
+    assert s7["session_start"].time().isoformat() == "10:00:00"
+    assert s7["session_end"].time().isoformat() == "10:05:00"
+    s8 = rows[8]
+    assert s8["n_events"] == 1 and s8["total_value"] == 5.0
