@@ -547,6 +547,28 @@ def table_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch analog of
+    streaming.stateful.windowed_event_counts): 1-hour buckets per
+    event_type. DuckDB's time_bucket is the oracle equivalent."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization (SURVEY §2.7): the ``entities`` dimension
     built by large-star/small-star connected components over the alias
@@ -650,6 +672,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_topk_emb": ivf_topk_emb,
         "table_media_features": table_media_features,
         "entity_table": entity_table,
+        "event_windows": event_windows,
         # non-SQL (rows-only)
         "media_features": media_features,
 }
@@ -1145,6 +1168,15 @@ def oracle_sql() -> dict[str, str]:
                               AND regexp_matches(c, '[0-9]'))) * 1.0
                          / len(cs), 6) AS numeric_ratio
             FROM cells
+        """,
+        "event_windows": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "entity_table": f"""
             -- recompute build_entities in SQL: per-field connected

@@ -187,6 +187,30 @@ def ivf_topk(
     )
 
 
+def ivf_write(index: DataFrame, path: str) -> None:
+    """Persist an IVF index PARTITIONED BY cell.
+
+    This is what makes IVF the 100-TB serving path: a probe's
+    ``cell IN (...)`` filter becomes parquet partition PRUNING — only
+    n_probe/n_centroids of the index files are ever opened (check
+    ``PartitionFilters`` in the scan plan), so query cost scales with
+    the probe set, not the corpus.
+    """
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_path(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`ivf_write`)."""
+    return ivf_topk(spark.read.parquet(path), centroids, query, k, n_probe)
+
+
 def embedding_near_dup_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -293,6 +293,34 @@ def test_ivf_topk_recall(spark):
     assert len(set(approx) & set(exact)) >= 5
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The serving path: a persisted cell-partitioned index turns the
+    probe filter into parquet partition PRUNING — the scan's
+    PartitionFilters carries the cell predicate and results match the
+    in-memory probe exactly."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        ivf_topk_from_path,
+        ivf_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index, centroids = ivf_index(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(index, path)
+
+    q = emb.orderBy("vec_id").first()
+    query = [float(x) for x in q["embedding"]]
+    disk = ivf_topk_from_path(spark, path, centroids, query, k=10, n_probe=3)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    mem = ivf_topk(index, centroids, query, k=10, n_probe=3)
+    assert [r["id"] for r in disk.collect()] == [r["id"] for r in mem.collect()]
+
+
 def test_text_metrics_on_testdata(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = docs.select(
