@@ -547,6 +547,60 @@ def table_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (reproducible across engines
+    and partitionings): keep doc iff md5-derived u(doc_id, salt) < 0.25."""
+    from llm_information_extraction_spark.functions.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.25, "doc_id", salt="r2").select("doc_id")
+
+
+def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — a document
+    keeps its split across reruns and corpus growth (no leakage)."""
+    from llm_information_extraction_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", salt="r2"
+    )
+    return s.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def co_mention_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG edge materialization: disease ↔ tract co-mention counts over a
+    deterministically planted corpus (the base corpus has zero vocabulary
+    overlap, so the oracle enumerates the planted co-occurrences)."""
+    from llm_information_extraction_spark.operators.graph import (
+        co_mention_edges,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    planted = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" alzheimers disease")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" corpus callosum")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" fornix")).otherwise(
+                F.lit("")
+            ),
+        ).alias("payload"),
+    )
+    mentions = extract_triples(planted)
+    edges = co_mention_edges(mentions, "Disease_study", "whitematter_tracts")
+    return edges.select(
+        "obj_a", "obj_b", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the batch analog of
     streaming.stateful.windowed_event_counts): 1-hour buckets per
@@ -673,6 +727,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "table_media_features": table_media_features,
         "entity_table": entity_table,
         "event_windows": event_windows,
+        "sampled_docs": sampled_docs,
+        "split_counts": split_counts,
+        "co_mention_graph": co_mention_graph,
         # non-SQL (rows-only)
         "media_features": media_features,
 }
@@ -1168,6 +1225,36 @@ def oracle_sql() -> dict[str, str]:
                               AND regexp_matches(c, '[0-9]'))) * 1.0
                          / len(cs), 6) AS numeric_ratio
             FROM cells
+        """,
+        "sampled_docs": """
+            -- u(key) = first-8-md5-hex / 2^32, identical math both engines
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8))
+                      ::BIGINT / 4294967296.0 < 0.25
+        """,
+        "split_counts": """
+            WITH u AS (
+              SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'),
+                                     1, 8))::BIGINT / 4294967296.0 AS u
+              FROM documents)
+            SELECT CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM u GROUP BY 1
+        """,
+        "co_mention_graph": """
+            -- the planted corpus is the spec: disease on doc_id%3, tracts
+            -- on %7 and %5; the base text never matches the vocabulary
+            WITH pairs AS (
+              SELECT 'alzheimers disease' AS obj_a,
+                     'corpus callosum' AS obj_b, count(*) AS n_docs
+              FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+              UNION ALL
+              SELECT 'alzheimers disease', 'fornix', count(*)
+              FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+            SELECT obj_a, obj_b, CAST(n_docs AS BIGINT) AS n_docs
+            FROM pairs WHERE n_docs > 0
         """,
         "event_windows": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

@@ -1,0 +1,73 @@
+"""Deterministic content-hash sampling / splitting.
+
+The reproducibility primitive every large-scale training-data pipeline
+needs: sample membership and train/val/test assignment derive from a
+content hash, not RNG state, so they are stable across reruns, engines,
+partitionings, and cluster sizes (``df.sample``/``sampleBy`` are only
+stable for a fixed partition layout). md5 is the hash on purpose — any
+engine (DuckDB, Postgres, Python) reproduces the same assignment, which
+also makes these operators oracle-checkable.
+
+u(key) = int(md5(key || salt)[:8 hex], 16) / 2³² ∈ [0, 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key column (+ salt).
+
+    Change the salt to draw an independent sample from the same corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(
+        float(2**32)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by key content."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one named split with the given proportions.
+
+    Assignment is a pure function of (key, salt): a document keeps its
+    split across reruns and corpus growth — no train/test leakage when
+    the corpus is re-ingested.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = hash_uniform(key_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        expr = (
+            F.when(u < cum, F.lit(name))
+            if expr is None
+            else expr.when(u < cum, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn(out_col, expr)

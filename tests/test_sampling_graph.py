@@ -1,0 +1,95 @@
+"""Deterministic sampling/splitting + KG graph analytics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_information_extraction_spark.functions.sampling import (
+    hash_sample,
+    hash_split,
+)
+from llm_information_extraction_spark.operators.graph import (
+    co_mention_edges,
+    predicate_object_degrees,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hash_sample_deterministic_across_partitionings(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s1 = {r["doc_id"] for r in hash_sample(d, 0.3, salt="x").select("doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(d.repartition(17), 0.3, salt="x")
+        .select("doc_id")
+        .collect()
+    }
+    assert s1 == s2  # df.sample() cannot make this guarantee
+    n = d.count()
+    assert 0.2 * n < len(s1) < 0.4 * n  # ~rate, loose bound at n=500
+
+
+def test_hash_sample_salts_are_independent(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(d, 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(d, 0.5, salt="b").collect()}
+    assert a != b
+    n = d.count()
+    # overlap ≈ rate² · n = 125 at n=500; just assert it's not degenerate
+    assert 0.05 * n < len(a & b) < 0.45 * n
+
+
+def test_hash_split_is_a_stable_partition(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = hash_split(d, w, salt="s")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growing the corpus must not move existing keys between splits
+    half = d.filter(F.col("doc_id") < 250)
+    s_half = {r["doc_id"]: r["split"] for r in hash_split(half, w, salt="s").collect()}
+    s_full = {r["doc_id"]: r["split"] for r in s.collect()}
+    assert all(s_full[k] == v for k, v in s_half.items())
+
+
+def test_hash_split_validates_weights(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, {"a": 0.5, "b": 0.1})
+
+
+def test_co_mention_edges_and_degrees(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("d1", "Disease_study", "ad"),
+            ("d1", "whitematter_tracts", "cc"),
+            ("d1", "whitematter_tracts", "fornix"),
+            ("d2", "Disease_study", "ad"),
+            ("d2", "whitematter_tracts", "cc"),
+            ("d2", "whitematter_tracts", "cc"),  # dup mention, 1 doc
+            ("d3", "Disease_study", "pd"),
+        ],
+        "doc_id string, pred string, obj string",
+    )
+    edges = {
+        (r["obj_a"], r["obj_b"]): r["n_docs"]
+        for r in co_mention_edges(
+            mentions, "Disease_study", "whitematter_tracts"
+        ).collect()
+    }
+    assert edges == {("ad", "cc"): 2, ("ad", "fornix"): 1}
+    # same-pred self-pairs: ordered, no self-loops
+    tt = {
+        (r["obj_a"], r["obj_b"]): r["n_docs"]
+        for r in co_mention_edges(
+            mentions, "whitematter_tracts", "whitematter_tracts"
+        ).collect()
+    }
+    assert tt == {("cc", "fornix"): 1}
+    deg = {
+        (r["pred"], r["obj"]): r["n_docs"]
+        for r in predicate_object_degrees(mentions).collect()
+    }
+    assert deg[("whitematter_tracts", "cc")] == 2  # distinct docs, not rows
+    assert deg[("Disease_study", "pd")] == 1
