@@ -99,6 +99,10 @@ def connected_components(
         # converged when the edge set is a star forest pointing at minima
         # (stable between rounds) — one aggregate job, not two exceptAlls
         cur_stats = _edge_stats(e2)
+        # e2 is materialized: the previous round's checkpoint blocks are
+        # dead weight — release them or k iterations hold k edge-set
+        # copies in the block manager (OOMs large graphs in local mode)
+        e.unpersist()
         e = e2
         if cur_stats == prev_stats:
             break

@@ -88,6 +88,32 @@ def test_minhash_dedup_groups(dup_corpus):
     assert "4" not in got
 
 
+def test_minhash_dedup_groups_fast_matches_pairwise(dup_corpus):
+    from llm_information_extraction_spark.operators.dedup import (
+        minhash_dedup_groups_fast,
+    )
+
+    pairwise = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups(dup_corpus, threshold=0.5).collect()
+    }
+    fast = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups_fast(
+            dup_corpus, verify_threshold=0.5
+        ).collect()
+    }
+    assert fast == pairwise  # {1,2,3,5} clustered; 4 alone
+    # unverified variant may only ADD members (banding precision), never
+    # lose any, and must keep the same representative
+    loose = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups_fast(dup_corpus).collect()
+    }
+    assert set(pairwise) <= set(loose)
+    assert all(loose[k] == v for k, v in pairwise.items())
+
+
 def test_simhash_near_dups(dup_corpus):
     sigs = {
         r["doc_id"]: r["sig"]
