@@ -85,24 +85,32 @@ def chunk_spans(
             ),
         )
     )
-    n_chunks = F.greatest(
-        F.ceil(F.size(c) / F.lit(max_spans)).cast("int"), F.lit(1)
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            F.transform(
-                F.slice(ordered, i * max_spans + 1, max_spans),
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    s["offset"].alias("offset"),
-                ),
-            ).alias("spans"),
-        ),
-    )
+
+    # bind the sorted array ONCE (1-element-array transform scope):
+    # referencing `ordered` inside the per-chunk lambda would re-sort the
+    # whole span array for every chunk — exactly quadratic on the
+    # oversized documents this operator exists for
+    def build(ord_spans: Column) -> Column:
+        n_chunks = F.greatest(
+            F.ceil(F.size(ord_spans) / F.lit(max_spans)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.transform(
+                    F.slice(ord_spans, i * max_spans + 1, max_spans),
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                        s["offset"].alias("offset"),
+                    ),
+                ).alias("spans"),
+            ),
+        )
+
+    chunks = F.transform(F.array(ordered), build)[0]
     return docs.select(
         "doc_id", F.explode(chunks).alias("__c")
     ).select("doc_id", F.col("__c.chunk_id").alias("chunk_id"),

@@ -26,15 +26,22 @@ def interleave_flat_documents(
 ) -> DataFrame:
     """(doc_id, text, ...) → (doc_id, spans) in the input_hint shape."""
     words = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
-    n_sections = F.greatest(
-        F.ceil(F.size(words) / F.lit(words_per_section)).cast("int"), F.lit(1)
-    )
-    sections = F.transform(
-        F.sequence(F.lit(0), n_sections - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * words_per_section + 1, words_per_section)
-        ),
-    )
+
+    # bind the split ONCE (1-element-array transform scope) — referencing
+    # `words` inside the per-section lambda re-splits the full text for
+    # every section (no CSE across HOF lambda boundaries)
+    def build_sections(ws):
+        n_sections = F.greatest(
+            F.ceil(F.size(ws) / F.lit(words_per_section)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_sections - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * words_per_section + 1, words_per_section)
+            ),
+        )
+
+    sections = F.transform(F.array(words), build_sections)[0]
     # each section yields [section_span] or [section_span, table_ref_span]
     nested = F.transform(
         sections,
