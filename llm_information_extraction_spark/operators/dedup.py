@@ -356,9 +356,13 @@ def minhash_dedup_groups_fast(
     buckets, no per-pair exact-Jaccard check). Pass ``verify_threshold``
     to additionally drop members whose exact n-gram Jaccard against
     their cluster REPRESENTATIVE (min doc id) falls below it — that's
-    O(cluster size) verification work instead of O(cluster²); note a
+    O(cluster size) verification work instead of O(cluster²). Two
+    documented rep-verify caveats on bucket-CHAINED clusters: a
     legitimately chained member can sit below the pair threshold vs the
-    representative.
+    representative, and a true duplicate PAIR whose members both fail
+    verification against a distant rep leaves the output entirely — run
+    exact fingerprint dedup first (KGPipeline's 'minhash' mode does)
+    so exact copies can never escape that way.
 
     Returns (doc_id string, group_id string); singletons omitted.
     """

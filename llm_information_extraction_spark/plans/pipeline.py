@@ -2,10 +2,11 @@
 
 Stage graph (each stage = one committed snapshot in the catalog):
 
-    ingest     documents(doc_id, spans[])            [input or synthetic]
-    mentions   (doc_id, pred, obj) surface forms     [payload + extraction]
-    triples    (doc_id, pred, obj) canonical         [linking]
-    entities   (entity_id, field, canonical, aliases)[canonicalization]
+    ingest       documents(doc_id, spans[])            [input or synthetic]
+    unique_docs  deduplicated documents                [optional: exact | minhash]
+    mentions     (doc_id, pred, obj) surface forms     [payload + extraction]
+    triples      (doc_id, pred, obj) canonical         [linking]
+    entities     (entity_id, field, canonical, aliases)[canonicalization]
 
 Every stage commit also appends per-partition lineage rows
 (stage, snapshot_id, partition_id, rows_out, wall_ms) to the ``lineage``
@@ -53,6 +54,11 @@ class PipelineConfig:
     #: when set, documents are split into ≤N-span chunks before extraction
     #: (bounds Arrow batch memory for oversized docs; operators/skew.py)
     chunk_max_spans: int | None = None
+    #: corpus dedup before extraction: 'none' | 'exact' (payload
+    #: fingerprint, keep min doc_id) | 'minhash' (bucket-CC near-dup
+    #: clusters with exact rep-verify ≥ minhash_threshold, keep the rep)
+    dedup: str = "none"
+    minhash_threshold: float = 0.8
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
@@ -60,7 +66,7 @@ class PipelineConfig:
         ).hexdigest()[:16]
 
 
-STAGES = ["ingest", "mentions", "triples", "entities"]
+STAGES = ["ingest", "unique_docs", "mentions", "triples", "entities"]
 
 
 class KGPipeline:
@@ -153,6 +159,42 @@ class KGPipeline:
         )
         return self._commit("ingest", docs, t0)
 
+    def _run_dedup(self, docs: DataFrame) -> DataFrame:
+        """Corpus dedup between ingest and extraction — the stage a
+        training-data pipeline always runs; extraction cost then scales
+        with UNIQUE content. Committed like any stage (resumable).
+
+        'minhash' composes exact-first-then-fuzzy (the production
+        order): exact fingerprint dedup is cheap and CHAINING-PROOF —
+        rep-verified near-dup removal alone can miss an exact duplicate
+        pair whose members both sit far from their bucket-chained
+        cluster representative.
+        """
+        t0 = time.time()
+        from ..functions.textmetrics import doc_fingerprint
+
+        if self.config.dedup not in ("exact", "minhash"):
+            raise ValueError(f"unknown dedup mode {self.config.dedup!r}")
+
+        payload = build_payload(docs, mode="full_text")
+        with_fp = payload.withColumn("__fp", doc_fingerprint("payload"))
+        keep = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+        unique = with_fp.join(keep, ["__fp", "doc_id"]).select(*docs.columns)
+
+        if self.config.dedup == "minhash":
+            from ..operators.dedup import minhash_dedup_groups_fast
+
+            groups = minhash_dedup_groups_fast(
+                build_payload(unique, mode="full_text"),
+                text_col="payload",
+                verify_threshold=self.config.minhash_threshold,
+            )
+            drop = groups.filter(
+                F.col("doc_id") != F.col("group_id")
+            ).select("doc_id")
+            unique = unique.join(drop, "doc_id", "left_anti")
+        return self._commit("unique_docs", unique, t0)
+
     def _run_mentions(self, docs: DataFrame) -> DataFrame:
         t0 = time.time()
         if self.config.chunk_max_spans:
@@ -226,6 +268,12 @@ class KGPipeline:
         counts["ingest"] = docs.count()
         if stop_after == "ingest":
             return counts
+
+        if self.config.dedup != "none":
+            docs = maybe("unique_docs", self._run_dedup, docs)
+            counts["unique_docs"] = docs.count()
+            if stop_after == "unique_docs":
+                return counts
 
         mentions = maybe("mentions", self._run_mentions, docs)
         counts["mentions"] = mentions.count()

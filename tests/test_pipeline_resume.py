@@ -44,6 +44,59 @@ def test_kill_and_resume_identical(spark, tmp_path):
     assert resumed.catalog.current_snapshot("mentions") == mention_snap
 
 
+def test_pipeline_dedup_stage(spark, tmp_path):
+    """Corpus dedup between ingest and extraction: duplicated docs are
+    collapsed before the expensive stages; the stage is committed and
+    resumable like any other."""
+    from pyspark.sql import functions as F
+
+    from llm_information_extraction_spark.sources.synthetic import (
+        generate_documents,
+    )
+
+    docs = generate_documents(spark, 40, seed=77)
+    dups = docs.limit(10).withColumn(
+        "doc_id", F.concat(F.lit("copy_"), F.col("doc_id"))
+    )
+    corpus = docs.unionByName(dups).cache()
+
+    for mode in ("exact", "minhash"):
+        cfg = PipelineConfig(n_docs=50, seed=77, dedup=mode)
+        pipe = KGPipeline(
+            spark, str(tmp_path / f"w_{mode}"), cfg, documents=corpus
+        )
+        counts = pipe.run()
+        assert counts["ingest"] == 50
+        if mode == "exact":
+            assert counts["unique_docs"] == 40
+        else:  # minhash may additionally drop true near-dups
+            assert counts["unique_docs"] <= 40
+        kept_ids = {
+            r["doc_id"]
+            for r in pipe.read("unique_docs").select("doc_id").collect()
+        }
+        dup_ids = {r["doc_id"] for r in dups.select("doc_id").collect()}
+        for cid in dup_ids:  # never keep both members of a dup pair
+            assert not (cid in kept_ids and cid[len("copy_"):] in kept_ids)
+        # one doc per duplicate pair survives; mentions computed on the
+        # deduped corpus only
+        mention_docs = {
+            r["doc_id"]
+            for r in pipe.read("mentions").select("doc_id").distinct().collect()
+        }
+        kept = {
+            r["doc_id"] for r in pipe.read("unique_docs").select("doc_id").collect()
+        }
+        assert mention_docs <= kept
+        # resume skips the committed dedup stage
+        snap = pipe.catalog.current_snapshot("unique_docs")
+        again = KGPipeline(
+            spark, str(tmp_path / f"w_{mode}"), cfg, documents=corpus
+        )
+        again.run(resume=True)
+        assert again.catalog.current_snapshot("unique_docs") == snap
+
+
 def test_config_change_invalidates_snapshots(spark, tmp_path):
     wh = str(tmp_path / "w_cfg")
     p1 = KGPipeline(spark, wh, CFG)
