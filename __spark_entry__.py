@@ -324,6 +324,23 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation gate composed from the text
+    metrics: quality score × language ID × token-length band."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count("text").alias("tokens"),
+        detect_lang("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") == "en")
+        & F.col("tokens").between(5, 500)
+    )
+
+
 def cosine_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -717,6 +734,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_count_docs": token_count_docs,
         "lang_detect_docs": lang_detect_docs,
         "quality_score_docs": quality_score_docs,
+        "curated_docs": curated_docs,
         "cosine_topk_emb": cosine_topk_emb,
         "embedding_near_dups": embedding_near_dups,
         "minhash_dedup": minhash_dedup,
@@ -798,6 +816,59 @@ def oracle_sql() -> dict[str, str]:
     stop_fr = "['le','la','les','et','des','est','une','dans','que']"
     stop_es = "['el','la','los','las','es','una','para','que','por']"
     tok_pattern = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+    # reusable per-doc text metrics (each is its own oracle AND a CTE of
+    # the composite curated_docs gate)
+    tok_sql = f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '{tok_pattern}')) AS INTEGER) AS tokens
+            FROM documents
+    """
+    lang_sql = f"""
+            WITH w AS (
+              SELECT doc_id, {words} AS ws FROM documents),
+                 s AS (
+              SELECT doc_id,
+                     len(list_intersect(ws, {stop_de})) AS s_de,
+                     len(list_intersect(ws, {stop_en})) AS s_en,
+                     len(list_intersect(ws, {stop_es})) AS s_es,
+                     len(list_intersect(ws, {stop_fr})) AS s_fr
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                            THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+    """
+    quality_sql = f"""
+            WITH b AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     len(list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\\s+'), x -> x <> ''))
+                         AS n_words,
+                     len(regexp_replace(coalesce(text, ''),
+                         '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+                     len(list_intersect(
+                         list_filter(regexp_split_to_array(
+                             lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> ''),
+                         {stop_en})) AS sw_hits
+              FROM documents)
+            SELECT doc_id,
+                   round(
+                     0.4 * (CASE WHEN n_words BETWEEN 5 AND 100000
+                                 THEN 1.0 ELSE 0.0 END)
+                     + 0.3 * greatest(0.0, 1.0 - least(
+                         CASE WHEN len(t) > 0
+                              THEN punct * 5.0 / len(t) ELSE 0.0 END, 1.0))
+                     + 0.3 * least(sw_hits / 3.0, 1.0), 6) AS quality
+            FROM b
+    """
 
     return {
         "kg_triples": """
@@ -1043,58 +1114,16 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE c * 1.0 / (size_a + size_b - c) >= 0.6
         """,
-        "token_count_docs": f"""
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(coalesce(text, ''),
-                        '{tok_pattern}')) AS INTEGER) AS tokens
-            FROM documents
-        """,
-        "lang_detect_docs": f"""
-            WITH w AS (
-              SELECT doc_id, {words} AS ws FROM documents),
-                 s AS (
-              SELECT doc_id,
-                     len(list_intersect(ws, {stop_de})) AS s_de,
-                     len(list_intersect(ws, {stop_en})) AS s_en,
-                     len(list_intersect(ws, {stop_es})) AS s_es,
-                     len(list_intersect(ws, {stop_fr})) AS s_fr
-              FROM w)
-            SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
-                            THEN 'de'
-                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                        WHEN s_es >= s_fr THEN 'es'
-                        ELSE 'fr' END AS lang_pred
-            FROM s
-        """,
-        "quality_score_docs": f"""
-            WITH b AS (
-              SELECT doc_id,
-                     coalesce(text, '') AS t,
-                     len(list_filter(string_split(lower(coalesce(text, '')),
-                                                  ' '), x -> x <> ''))
-                         AS n_words_sp,
-                     len(list_filter(regexp_split_to_array(
-                         lower(coalesce(text, '')), '\\s+'), x -> x <> ''))
-                         AS n_words,
-                     len(regexp_replace(coalesce(text, ''),
-                         '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
-                     len(list_intersect(
-                         list_filter(regexp_split_to_array(
-                             lower(coalesce(text, '')), '\\s+'),
-                             x -> x <> ''),
-                         {stop_en})) AS sw_hits
-              FROM documents)
-            SELECT doc_id,
-                   round(
-                     0.4 * (CASE WHEN n_words BETWEEN 5 AND 100000
-                                 THEN 1.0 ELSE 0.0 END)
-                     + 0.3 * greatest(0.0, 1.0 - least(
-                         CASE WHEN len(t) > 0
-                              THEN punct * 5.0 / len(t) ELSE 0.0 END, 1.0))
-                     + 0.3 * least(sw_hits / 3.0, 1.0), 6) AS quality
-            FROM b
+        "token_count_docs": tok_sql,
+        "lang_detect_docs": lang_sql,
+        "quality_score_docs": quality_sql,
+        "curated_docs": f"""
+            -- the canonical curation gate: quality x language x length
+            WITH q AS ({quality_sql}), l AS ({lang_sql}), t AS ({tok_sql})
+            SELECT q.doc_id, t.tokens, l.lang_pred, q.quality
+            FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)
+            WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+              AND t.tokens BETWEEN 5 AND 500
         """,
         "cosine_topk_emb": """
             SELECT vec_id AS id,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import KGPipeline
 
-VIEWS = ["ingest", "mentions", "triples", "entities", "lineage"]
+VIEWS = ["ingest", "unique_docs", "mentions", "triples", "entities", "lineage"]
 
 
 def register_views(pipeline: KGPipeline, prefix: str = "kg_") -> list[str]:
