@@ -40,10 +40,13 @@ def main(argv: list[str] | None = None) -> int:
                    default="full_text")
     p.add_argument("--fuzzy", action="store_true",
                    help="enable LSH fuzzy entity linking")
+    p.add_argument("--dedup", choices=["none", "exact", "minhash"],
+                   default="none",
+                   help="corpus dedup stage before extraction")
     p.add_argument("--fresh", action="store_true",
                    help="ignore committed snapshots and recompute")
     p.add_argument("--stop-after", default=None,
-                   choices=["ingest", "mentions", "triples"],
+                   choices=["ingest", "unique_docs", "mentions", "triples"],
                    help="stop after this stage (testing/kill simulation)")
     args = p.parse_args(argv)
 
@@ -57,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     documents = spark.read.parquet(args.input) if args.input else None
     cfg = PipelineConfig(
-        n_docs=args.n_docs, seed=args.seed, mode=args.mode, fuzzy=args.fuzzy
+        n_docs=args.n_docs, seed=args.seed, mode=args.mode, fuzzy=args.fuzzy,
+        dedup=args.dedup,
     )
     pipeline = KGPipeline(spark, args.warehouse, cfg, documents=documents)
     counts = pipeline.run(resume=not args.fresh, stop_after=args.stop_after)
