@@ -6,6 +6,7 @@ from .normalize import (  # noqa: F401
     normalize_text,
     strip_pmc_prefix,
 )
+from .sampling import hash_sample, hash_split, hash_uniform  # noqa: F401
 from .textmetrics import (  # noqa: F401
     detect_lang,
     doc_fingerprint,

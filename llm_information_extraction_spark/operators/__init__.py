@@ -4,3 +4,18 @@ from .payload import (  # noqa: F401
     span_signature,
 )
 from .extraction import extract_triples  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_dedup_groups,
+    minhash_dedup_groups_fast,
+    minhash_verified_pairs,
+    simhash_near_dup_pairs,
+)
+from .graph import co_mention_edges, predicate_object_degrees  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+    ivf_topk_from_path,
+    ivf_write,
+)
