@@ -178,6 +178,31 @@ def test_payload_column_not_read_for_metadata_rollup(spark, tmp_path):
     assert "payload" not in read_schema  # 99% of bytes never leave the scan
 
 
+def test_contract_query_scans_are_pruned(spark):
+    """Column pruning must reach the parquet scan for the round-2
+    contract queries (a scan reading all columns for a 1-2 column
+    computation is a 100-TB bug, not a style issue)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    expected = {
+        "sampled_docs": {"doc_id"},
+        "split_counts": {"doc_id"},
+        "event_windows": {"ts", "event_type", "value"},
+        "curated_docs": {"doc_id", "text"},
+    }
+    qs = entrymod.queries()
+    for name, cols in expected.items():
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, name
+        for schema in schemas:
+            read = {f.split(":")[0] for f in schema.split(",") if f}
+            assert read <= cols, (name, read)
+
+
 def test_minhash_uses_mapside_partial_aggregation(spark):
     from llm_information_extraction_spark.operators.dedup import (
         minhash_signatures,
