@@ -157,6 +157,57 @@ def minhash_signature(
     )
 
 
+def _signatures_from_tokens(
+    tok: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """(id, shingle) token rows → (id, sig array<bigint>)."""
+    hashed = tok.select("id", F.xxhash64("shingle").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _doc_tokens(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def drop_frequent_shingles(
+    tok: DataFrame, max_doc_freq: float
+) -> DataFrame:
+    """Stop-shingle filtering: drop shingles present in more than
+    ``max_doc_freq`` of documents BEFORE MinHashing.
+
+    Boilerplate shingles dominate signatures (they win the min for many
+    permutations across many docs), which is what chains whole
+    template-heavy corpora into one LSH component (see
+    BENCH/dedup_scale.md). Removing corpus-frequent shingles makes the
+    signature reflect each document's DISTINCTIVE content — the standard
+    web-dedup mitigation. Two extra codegen aggregations, shuffling only
+    (shingle, count) pairs.
+    """
+    n_docs = F.broadcast(
+        tok.select("id").distinct().agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rare = (
+        tok.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(n_docs)
+        .filter(F.col("__df") <= F.col("__n") * max_doc_freq)
+        .select("shingle")
+    )
+    return tok.join(rare, "shingle", "leftsemi")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -171,17 +222,8 @@ def minhash_signatures(
     map-side combine (each partition pre-reduces to one row per id).
     Same hash family as :func:`minhash_signature`.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    return _signatures_from_tokens(
+        _doc_tokens(df, id_col, text_col, n), num_hashes, seed
     )
 
 
@@ -341,9 +383,16 @@ def minhash_dedup_groups_fast(
     bands: int = 16,
     seed: int = 42,
     verify_threshold: float | None = None,
+    max_shingle_doc_freq: float | None = None,
 ) -> DataFrame:
     """Near-dup clusters for corpora with LARGE duplicate clusters —
     the web-scale production path.
+
+    ``max_shingle_doc_freq`` applies :func:`drop_frequent_shingles`
+    before signing, so boilerplate shingles stop dominating signatures
+    (the chaining cause); a document whose every shingle is
+    corpus-frequent carries no distinctive content and is left
+    unclustered (run exact fingerprint dedup first — KGPipeline does).
 
     The pairwise path (:func:`minhash_dedup_groups`) enumerates candidate
     PAIRS, which is Θ(Σ cluster²): one 14k-copy boilerplate cluster alone
@@ -368,7 +417,16 @@ def minhash_dedup_groups_fast(
     """
     from .canonicalize import connected_components
 
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    if max_shingle_doc_freq is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    else:
+        sig = _signatures_from_tokens(
+            drop_frequent_shingles(
+                _doc_tokens(df, id_col, text_col, n), max_shingle_doc_freq
+            ),
+            num_hashes,
+            seed,
+        )
     banded = _banded_buckets(sig, num_hashes, bands)
     edges = banded.select(
         F.concat_ws("\x1f", F.lit("D"), F.col("id").cast("string")).alias("src"),

@@ -114,6 +114,47 @@ def test_minhash_dedup_groups_fast_matches_pairwise(dup_corpus):
     assert all(loose[k] == v for k, v in pairwise.items())
 
 
+def test_stop_shingle_filter_breaks_boilerplate_chaining(spark):
+    """All docs share a boilerplate prefix: unfiltered bucket-CC chains
+    everything into one component; dropping corpus-frequent shingles
+    leaves only the true duplicate pair grouped."""
+    from llm_information_extraction_spark.operators.dedup import (
+        minhash_dedup_groups_fast,
+    )
+
+    boiler = (
+        "this article is distributed under the terms of the creative "
+        "commons attribution license which permits unrestricted use"
+    )
+    rows = [
+        (i, f"{boiler} study number {i} investigated outcome variable "
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+        for i in range(20)
+    ]
+    rows += [
+        (20, f"{boiler} completely identical trailing content about "
+             "sleep and memory consolidation in adults"),
+        (21, f"{boiler} completely identical trailing content about "
+             "sleep and memory consolidation in adults"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    chained = minhash_dedup_groups_fast(docs)
+    assert chained.count() >= 18  # boilerplate chains most of the corpus
+    biggest = (
+        chained.groupBy("group_id").count().agg(F.max("count").alias("m"))
+    ).first()["m"]
+    assert biggest >= 15  # dominated by a giant chained component
+
+    filtered = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups_fast(
+            docs, max_shingle_doc_freq=0.5
+        ).collect()
+    }
+    assert set(filtered) == {"20", "21"}  # only the true dup pair
+
+
 def test_simhash_near_dups(dup_corpus):
     sigs = {
         r["doc_id"]: r["sig"]
