@@ -195,8 +195,11 @@ def drop_frequent_shingles(
     web-dedup mitigation. Two extra codegen aggregations, shuffling only
     (shingle, count) pairs.
     """
+    # HLL cardinality, not distinct().count(): the doc count only scales
+    # a threshold, and approx_count_distinct is one map-side-combining
+    # aggregate instead of a corpus-wide distinct shuffle
     n_docs = F.broadcast(
-        tok.select("id").distinct().agg(F.count(F.lit(1)).alias("__n"))
+        tok.agg(F.approx_count_distinct("id").alias("__n"))
     )
     rare = (
         tok.groupBy("shingle")
@@ -456,8 +459,12 @@ def minhash_dedup_groups_fast(
         return groups
 
     # representative verify: exact n-gram Jaccard(member, rep) — token
-    # join pruned to grouped docs only, O(cluster) not O(cluster²)
-    grouped_ids = F.broadcast(groups.select("doc_id").distinct())
+    # join pruned to grouped docs only, O(cluster) not O(cluster²).
+    # NO broadcast hints here: on boilerplate-heavy corpora the grouped
+    # id set is corpus-sized (the whole point of this code path), so the
+    # semi joins must be shuffleable; AQE downgrades them to broadcast
+    # at runtime when the set turns out small
+    grouped_ids = groups.select("doc_id").distinct()
     tok = (
         df.select(
             F.col(id_col).cast("string").alias("doc_id"),
@@ -467,7 +474,7 @@ def minhash_dedup_groups_fast(
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
     rep_tok = tok.withColumnsRenamed({"doc_id": "group_id"}).join(
-        F.broadcast(groups.select("group_id").distinct()), "group_id", "leftsemi"
+        groups.select("group_id").distinct(), "group_id", "leftsemi"
     )
     inter = (
         groups.join(tok, "doc_id")
