@@ -618,6 +618,40 @@ def co_mention_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG node degrees (docs per (pred, obj)) over the planted corpus —
+    the fan-out statistic that drives broadcast/salting decisions."""
+    from llm_information_extraction_spark.operators.graph import (
+        predicate_object_degrees,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    planted = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" alzheimers disease")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" corpus callosum")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" fornix")).otherwise(
+                F.lit("")
+            ),
+        ).alias("payload"),
+    )
+    mentions = extract_triples(
+        planted, fields=["Disease_study", "whitematter_tracts", "patient_groups"]
+    )
+    deg = predicate_object_degrees(mentions)
+    return deg.select(
+        "pred", "obj", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the batch analog of
     streaming.stateful.windowed_event_counts): 1-hour buckets per
@@ -748,6 +782,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sampled_docs": sampled_docs,
         "split_counts": split_counts,
         "co_mention_graph": co_mention_graph,
+        "kg_degrees": kg_degrees,
         # non-SQL (rows-only)
         "media_features": media_features,
 }
@@ -1284,6 +1319,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
             SELECT obj_a, obj_b, CAST(n_docs AS BIGINT) AS n_docs
             FROM pairs WHERE n_docs > 0
+        """,
+        "kg_degrees": """
+            -- planted corpus: disease on %3 (fans out to Disease_study
+            -- AND patient_groups via the shared vocabulary), tracts on
+            -- %7 and %5; base text never matches the vocabulary
+            WITH deg AS (
+              SELECT 'Disease_study' AS pred, 'alzheimers disease' AS obj,
+                     count(*) AS n_docs
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'patient_groups', 'alzheimers disease', count(*)
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'whitematter_tracts', 'corpus callosum', count(*)
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT 'whitematter_tracts', 'fornix', count(*)
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT pred, obj, CAST(n_docs AS BIGINT) AS n_docs
+            FROM deg WHERE n_docs > 0
         """,
         "event_windows": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
