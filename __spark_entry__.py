@@ -618,6 +618,24 @@ def co_mention_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-window) fingerprint overlap pairs — partial
+    containment detection; the md5-derived hash makes the ENTIRE
+    pipeline (ordered shingles → window minima → pair counts)
+    reproducible in DuckDB."""
+    from llm_information_extraction_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = winnow_overlap_pairs(d, n=3, window=4, min_shared=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG node degrees (docs per (pred, obj)) over the planted corpus —
     the fan-out statistic that drives broadcast/salting decisions."""
@@ -783,6 +801,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "split_counts": split_counts,
         "co_mention_graph": co_mention_graph,
         "kg_degrees": kg_degrees,
+        "winnow_overlaps": winnow_overlaps,
         # non-SQL (rows-only)
         "media_features": media_features,
 }
@@ -1319,6 +1338,34 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
             SELECT obj_a, obj_b, CAST(n_docs AS BIGINT) AS n_docs
             FROM pairs WHERE n_docs > 0
+        """,
+        "winnow_overlaps": f"""
+            -- full winnowing replication: ordered 3-gram shingles →
+            -- 32-bit md5 hashes → 4-wide window minima (distinct) →
+            -- fingerprint equi-join pair counts
+            WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+                 sh AS (SELECT doc_id AS id,
+                          list_transform(
+                            range(1, greatest(len(ws) - 2, 1) + 1),
+                            i -> array_to_string(ws[i:i+2], ' ')) AS sgs
+                        FROM w),
+                 hs AS (SELECT id,
+                          list_transform(sgs, s ->
+                            ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hh
+                        FROM sh),
+                 fps AS (SELECT id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(hh) - 3, 1) + 1),
+                            i -> list_min(hh[i:i+3]))) AS fp
+                        FROM hs),
+                 tok AS (SELECT id, f AS fp FROM fps, unnest(fp) AS t(f)),
+                 pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                             count(*) AS n_shared
+                           FROM tok a JOIN tok b USING (fp)
+                           WHERE a.id < b.id
+                           GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM pairs WHERE n_shared >= 3
         """,
         "kg_degrees": """
             -- planted corpus: disease on %3 (fans out to Disease_study

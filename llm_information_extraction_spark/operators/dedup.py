@@ -131,6 +131,89 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-window document fingerprinting)
+# ---------------------------------------------------------------------------
+def ordered_word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles in DOCUMENT ORDER (duplicates kept) — the
+    winnowing input, unlike :func:`word_shingles`'s distinct set."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")), " "
+    )
+
+    def build(ws: Column) -> Column:
+        n_sh = F.greatest(F.size(ws) - n + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+
+    return F.transform(F.array(words), build)[0]
+
+
+def winnow_fingerprints(
+    col: Column | str, n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash the ordered n-gram sequence,
+    slide a ``window``-wide frame over it, keep each frame's MINIMUM
+    hash, dedupe. Guarantee: two documents sharing any token run of
+    length ≥ window + n − 1 share at least one fingerprint, while only
+    ~2/(window+1) of positions are kept — the rolling-hash fingerprint
+    family for partial-overlap (containment) detection, which set-level
+    MinHash can't do.
+
+    The hash is the first 8 md5 hex digits (portable: DuckDB/Postgres
+    reproduce it bit-for-bit, so the operator is oracle-checkable).
+    """
+    sh = ordered_word_shingles(col, n)
+
+    def build(hs: Column) -> Column:
+        n_win = F.greatest(F.size(hs) - window + 1, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(hs, i, window)),
+            )
+        )
+
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    return F.transform(F.array(hashes), build)[0]
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    partial-overlap (plagiarism/quotation/containment) candidates.
+
+    One explode + equi-join on the fingerprint (the shuffle key), count
+    per pair: the same bucketed shape as every other dedup join here —
+    no all-pairs work. Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, n, window)).alias("fp"),
+    )
+    a = fp.select(F.col("id").alias("id_a"), "fp")
+    b = fp.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 def minhash_signature(

@@ -114,6 +114,30 @@ def test_minhash_dedup_groups_fast_matches_pairwise(dup_corpus):
     assert all(loose[k] == v for k, v in pairwise.items())
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: a shared token run of length ≥ window+n−1
+    yields ≥1 shared fingerprint; disjoint docs share none."""
+    from llm_information_extraction_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    shared_run = "the hippocampus modulates consolidation during slow wave sleep"
+    rows = [
+        (1, f"intro words alpha beta {shared_run} closing remarks one"),
+        (2, f"totally different opening gamma delta {shared_run} and more"),
+        (3, "nothing in common here whatsoever with anybody else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            docs, n=3, window=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
 def test_stop_shingle_filter_breaks_boilerplate_chaining(spark):
     """All docs share a boilerplate prefix: unfiltered bucket-CC chains
     everything into one component; dropping corpus-frequent shingles
