@@ -127,6 +127,23 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(mentions, vocabulary_df(spark))
 
 
+def kg_triples_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oversized-doc-safe extraction path (E6): chunk → extract →
+    doc-level-rule-correct merge. Must produce EXACTLY the same triples
+    as the unchunked flagship, so the kg_triples oracle applies verbatim
+    — this puts the chunked path itself under the driver's value check."""
+    from llm_information_extraction_spark.operators.skew import (
+        extract_chunked,
+    )
+
+    flat = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = interleave_flat_documents(flat)
+    mentions = extract_chunked(docs, max_spans=4)
+    return link_mentions(mentions, vocabulary_df(spark))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -322,6 +339,20 @@ def lang_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile with EXACT percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, verified bit-equal) —
+    the rollup a curation run reports before/after filtering."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
 
 
 def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # flagship + reference-operator analogs
         "kg_triples": kg_triples,
+        "kg_triples_chunked": kg_triples_chunked,
         "q1_pricing_summary": q1_pricing_summary,
         "top_orders": top_orders,
         "orders_customer_join": orders_customer_join,
@@ -787,6 +819,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_detect_docs": lang_detect_docs,
         "quality_score_docs": quality_score_docs,
         "curated_docs": curated_docs,
+        "corpus_stats": corpus_stats,
         "cosine_topk_emb": cosine_topk_emb,
         "embedding_near_dups": embedding_near_dups,
         "minhash_dedup": minhash_dedup,
@@ -924,7 +957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
     """
 
-    return {
+    out = {
         "kg_triples": """
             -- The driver testdata's text is drawn from a small generic
             -- vocabulary with ZERO overlap with the controlled
@@ -1339,6 +1372,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT obj_a, obj_b, CAST(n_docs AS BIGINT) AS n_docs
             FROM pairs WHERE n_docs > 0
         """,
+        "corpus_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
         "winnow_overlaps": f"""
             -- full winnowing replication: ordered 3-gram shingles →
             -- 32-bit md5 hashes → 4-wide window minima (distinct) →
@@ -1445,3 +1486,6 @@ def oracle_sql() -> dict[str, str]:
               ON a.field = t.field AND a.entity_id = t.entity_id
         """,
     }
+    # the chunked path must be triple-identical to the unchunked flagship
+    out["kg_triples_chunked"] = out["kg_triples"]
+    return out
