@@ -46,16 +46,31 @@ def _ensure_shipped(spark) -> None:
     key = id(sc)
     if key in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "kgx_entry_pkg.zip")
+    pkg = Path(_REPO) / "llm_information_extraction_spark"
+    files = sorted(
+        f for f in pkg.rglob("*")
+        if f.is_file() and "__pycache__" not in str(f)
+    )
+    # content-hash the zip name: a cached zip from an OLDER build must
+    # never be shipped (executors would run stale code while the driver
+    # runs current code — signature mismatches at the Arrow boundary)
+    h = hashlib.sha256()
+    for f in files:
+        h.update(str(f.relative_to(pkg)).encode())
+        h.update(f.read_bytes())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"kgx_entry_pkg_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
-        pkg = Path(_REPO) / "llm_information_extraction_spark"
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for f in pkg.rglob("*"):
-                if f.is_file() and "__pycache__" not in str(f):
-                    zf.write(f, f.relative_to(Path(_REPO)))
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in files:
+                zf.write(f, f.relative_to(Path(_REPO)))
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED.add(key)
 
