@@ -65,34 +65,54 @@ FEATURES_SCHEMA = StructType(
 _SUPPORTED_CODECS = {"raw8", "csv"}
 
 
+def _md5_bytes(s: str) -> bytes:
+    import hashlib
+
+    return hashlib.md5(s.encode()).digest()
+
+
 def synth_media(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
-    """Deterministic fake media table bound to doc ids (raw8 codec)."""
+    """Deterministic fake media table bound to doc ids.
+
+    Every byte is derived from md5 over portable strings (``dim:{seed}:{i}``
+    for geometry, ``pay:{seed}:{i}:{block}`` for raw8 pixel blocks,
+    ``cell:{seed}:{i}:{row}`` for csv cell values), NOT a numpy RNG, so
+    an external engine (the DuckDB oracle) can regenerate the payloads —
+    the same portable-hash trick the winnowing fingerprints use.
+    """
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"].to_numpy():
-                rng = np.random.default_rng((seed << 34) ^ (int(i) + 1))
-                kind = ["image", "audio", "video", "table"][int(i) % 4]
-                w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
-                frames = int(rng.integers(2, 6)) if kind == "video" else 1
+                i = int(i)
+                d = _md5_bytes(f"dim:{seed}:{i}")
+                kind = ["image", "audio", "video", "table"][i % 4]
                 if kind == "table":
                     # real CSV payload, like the reference's extracted tables
-                    ncols = int(rng.integers(2, 5))
+                    ncols = 2 + d[0] % 3
+                    nrows = 2 + d[1] % 4
                     header = ",".join(f"col{c}" for c in range(ncols))
                     body = "\n".join(
-                        ",".join(str(int(rng.integers(0, 100))) for _ in range(ncols))
-                        for _ in range(int(rng.integers(2, 6)))
+                        ",".join(
+                            str(_md5_bytes(f"cell:{seed}:{i}:{r}")[c] % 100)
+                            for c in range(ncols)
+                        )
+                        for r in range(nrows)
                     )
                     payload = f"{header}\n{body}".encode()
-                    codec, w, h = "csv", 0, 0
+                    codec, w, h, frames = "csv", 0, 0, 1
                 else:
-                    payload = rng.integers(
-                        0, 256, size=w * h * frames, dtype=np.uint8
-                    ).tobytes()
+                    w, h = 4 + d[0] % 13, 4 + d[1] % 13
+                    frames = 2 + d[2] % 4 if kind == "video" else 1
+                    nbytes = w * h * frames
+                    payload = b"".join(
+                        _md5_bytes(f"pay:{seed}:{i}:{b}")
+                        for b in range((nbytes + 15) // 16)
+                    )[:nbytes]
                     codec = "raw8"
                 rows.append(
                     {
