@@ -8,6 +8,7 @@ from .normalize import (  # noqa: F401
 )
 from .sampling import hash_sample, hash_split, hash_uniform  # noqa: F401
 from .textmetrics import (  # noqa: F401
+    corpus_profile,
     detect_lang,
     doc_fingerprint,
     quality_score,

@@ -57,14 +57,30 @@ def _edge_stats(e: DataFrame) -> tuple:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src string, dst string) → (node string, component string).
 
     component = min node id in the component. Isolated nodes (no edges)
     are the caller's concern — join the result back with a coalesce.
+
+    ``checkpoint_dir``: when set (a cluster-visible path, e.g. HDFS/S3),
+    per-round lineage truncation uses reliable ``checkpoint()`` instead of
+    ``localCheckpoint()`` — local checkpoint blocks die with their
+    executor, so on a multi-hour CC run one lost executor would restart
+    the whole loop. Local (the default) is right for single-node runs.
     """
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _ckpt(_canonical_edges(edges))
     if e.isEmpty():
         spark = edges.sparkSession
         return spark.createDataFrame([], "node string, component string")
@@ -94,7 +110,7 @@ def connected_components(
             .filter(F.col("dst") <= F.col("src"))  # smaller-or-equal neighbors
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        e2 = _canonical_edges(small.union(e1)).localCheckpoint(eager=True)
+        e2 = _ckpt(_canonical_edges(small.union(e1)))
 
         # converged when the edge set is a star forest pointing at minima
         # (stable between rounds) — one aggregate job, not two exceptAlls
@@ -154,6 +170,7 @@ def resolve_entity_ids(
 def build_entities(
     vocab_df: DataFrame,
     fuzzy_links: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Materialize the ``entities`` table from alias edges.
 
@@ -177,7 +194,7 @@ def build_entities(
         F.concat_ws("\x1f", "field", "surface").alias("src"),
         F.concat_ws("\x1f", "field", "canonical").alias("dst"),
     )
-    cc = connected_components(edges)
+    cc = connected_components(edges, checkpoint_dir=checkpoint_dir)
     # isolated nodes (self-loop-only aliases, e.g. surface == canonical)
     # are dropped by CC; restore them with component = themselves
     all_nodes = (

@@ -277,6 +277,14 @@ def drop_frequent_shingles(
     signature reflect each document's DISTINCTIVE content — the standard
     web-dedup mitigation. Two extra codegen aggregations, shuffling only
     (shingle, count) pairs.
+
+    ``max_doc_freq`` is honored APPROXIMATELY near the cutoff: the doc
+    count it scales comes from ``approx_count_distinct`` (HLL, ~5% rsd),
+    so a shingle whose document frequency sits within a few percent of
+    the threshold may land on either side. That is fine for the
+    boilerplate-removal purpose (boilerplate is orders of magnitude above
+    any sane cutoff); pass an exact-counted threshold yourself if you
+    need a hard fraction.
     """
     # HLL cardinality, not distinct().count(): the doc count only scales
     # a threshold, and approx_count_distinct is one map-side-combining
@@ -400,14 +408,19 @@ def minhash_verified_pairs(
         df, id_col, text_col, n, num_hashes, bands, seed
     ).cache()
     # only candidate-involved docs need their shingles re-derived: the
-    # candidate id set is O(dup_rate·n) ≪ corpus by construction, so it
-    # broadcasts and the token table is pre-pruned WITHOUT a shuffle
-    # (otherwise the second equi-join shuffles every doc's tokens)
-    cand_ids = F.broadcast(
+    # candidate id set is usually O(dup_rate·n) ≪ corpus, so it broadcasts
+    # and the token table is pre-pruned WITHOUT a shuffle (otherwise the
+    # second equi-join shuffles every doc's tokens). But on duplicate-HEAVY
+    # corpora — the very inputs dedup targets — the set is O(corpus), so
+    # the hint is gated on the (already-cached) pair count; above the gate
+    # AQE picks the strategy at runtime from actual sizes.
+    cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    if cands.count() * 2 <= 4_000_000:  # ≤ ~a few hundred MB of id strings
+        cand_ids = F.broadcast(cand_ids)
     tok = (
         df.select(
             F.col(id_col).alias("id"),

@@ -91,6 +91,52 @@ def _char_ngrams(col, n: int = 3):
     )
 
 
+def _field_scoped_grams(df: DataFrame, surface_col: str) -> DataFrame:
+    """Attach field-prefixed char-3-gram shingles as ``grams``.
+
+    Each gram is tagged ``field\\x1f<gram>`` so grams from different
+    fields can never collide in the CountVectorizer vocabulary or hash to
+    the same MinHash bucket membership — the LSH blocking becomes
+    field-scoped without changing same-field Jaccard.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            _char_ngrams(F.col(surface_col)),
+            lambda g: F.concat_ws("\x1f", F.col("field"), g),
+        )
+    )
+    return df.withColumn("grams", grams).filter(F.size("grams") > 0)
+
+
+def lsh_candidate_pairs(
+    l_g: DataFrame,
+    r_g: DataFrame,
+    jaccard_max_distance: float = 0.7,
+    num_hash_tables: int = 6,
+) -> DataFrame:
+    """MinHashLSH candidate pairs over pre-shingled inputs (``grams``).
+
+    Returns the raw approxSimilarityJoin output (datasetA/datasetB
+    structs + jaccard_dist) BEFORE any field filtering — factored out so
+    tests can assert the field-scoped blocking produces zero cross-field
+    candidates (the expensive difflib scorer only ever sees in-field
+    pairs).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    # shared vocabulary of shingles → sparse vectors → MinHash
+    cv = CountVectorizer(
+        inputCol="grams", outputCol="features", binary=True, minDF=1.0
+    ).fit(l_g.select("grams").union(r_g.select("grams")))
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(cv.transform(l_g))
+    return lsh.approxSimilarityJoin(
+        cv.transform(l_g), cv.transform(r_g), jaccard_max_distance,
+        distCol="jaccard_dist",
+    )
+
+
 def fuzzy_link_surfaces(
     unresolved: DataFrame,
     vocab_df: DataFrame,
@@ -105,13 +151,16 @@ def fuzzy_link_surfaces(
     difflib ratio ≥ threshold, best-match-per-surface (ties broken by
     canonical asc for determinism).
 
-    Blocking: MinHashLSH over char-3-gram shingles bounds the candidate
-    set (Jaccard distance ≤ ``jaccard_max_distance``); a difflib ratio of
-    0.95 implies high shingle overlap, so the block is lossless in
-    practice for the reference threshold.
+    Blocking: MinHashLSH over **field-prefixed** char-3-gram shingles
+    bounds the candidate set (Jaccard distance ≤ ``jaccard_max_distance``);
+    a difflib ratio of 0.95 implies high shingle overlap, so the block is
+    lossless in practice for the reference threshold. Prefixing each gram
+    with its field makes cross-field grams unequal, so blocking is
+    field-scoped BEFORE the join — per-field vocabularies share surface
+    shapes, and unscoped LSH would inflate the difflib-scored candidate
+    set with cross-field pairs. Same-field Jaccard is unchanged by the
+    prefix. The post-join field equality filter stays as a safety assert.
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
-
     left = unresolved.select(
         "field", normalize_text("surface").alias("surface")
     ).dropDuplicates()
@@ -121,12 +170,9 @@ def fuzzy_link_surfaces(
         normalize_text("canonical").alias("canonical"),
     ).dropDuplicates(["field", "vocab_surface"])
 
-    l_g = left.withColumn("grams", F.array_distinct(_char_ngrams(F.col("surface"))))
-    r_g = right.withColumn(
-        "grams", F.array_distinct(_char_ngrams(F.col("vocab_surface")))
+    l_g, r_g = _field_scoped_grams(left, "surface"), _field_scoped_grams(
+        right, "vocab_surface"
     )
-    l_g = l_g.filter(F.size("grams") > 0)
-    r_g = r_g.filter(F.size("grams") > 0)
     if l_g.isEmpty() or r_g.isEmpty():
         return left.limit(0).select(
             "field",
@@ -135,18 +181,8 @@ def fuzzy_link_surfaces(
             F.lit(0.0).alias("score"),
         )
 
-    # shared vocabulary of shingles → sparse vectors → MinHash
-    cv = CountVectorizer(
-        inputCol="grams", outputCol="features", binary=True, minDF=1.0
-    ).fit(l_g.select("grams").union(r_g.select("grams")))
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
-    ).fit(cv.transform(l_g))
-
-    lv = cv.transform(l_g)
-    rv = cv.transform(r_g)
     pairs = (
-        lsh.approxSimilarityJoin(lv, rv, jaccard_max_distance, distCol="jaccard_dist")
+        lsh_candidate_pairs(l_g, r_g, jaccard_max_distance, num_hash_tables)
         .filter(F.col("datasetA.field") == F.col("datasetB.field"))
         .select(
             F.col("datasetA.field").alias("field"),

@@ -149,6 +149,10 @@ def _session_fn(
         if n > 0 and t - last_ms > gap_ms:
             out.append(close(start_ms, last_ms, n, tot))
             start_ms, n, tot = t, 0, 0.0
+        # a late-but-within-watermark event from a later batch can
+        # precede the stored session start: merging must pull the start
+        # BACK, or session_start ends up later than its earliest event
+        start_ms = min(start_ms, t)
         last_ms = max(last_ms, t)
         n += 1
         tot += float(v)

@@ -85,3 +85,25 @@ def test_build_entities_merges_aliases(spark):
     assert slf["n_aliases"] == 3
     assert ("tract", "fornix") in rows and ("disease", "fornix") in rows
     assert rows[("tract", "fornix")]["aliases"] == ["fornix"]
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoint() (survives executor loss on a real cluster); results
+    must be identical to the localCheckpoint default."""
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)] + [("x", "y")],
+        "src string, dst string",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    reliable = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    import os
+    assert os.listdir(ckpt)  # checkpoint files actually landed on disk

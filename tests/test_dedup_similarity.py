@@ -510,3 +510,35 @@ def test_table_media_extraction_on_reference_tables(spark):
     }
     # table_001 of pmcid_10481508 names corpus callosum + corticospinal tract
     assert {"corpus callosum", "corticospinal tract"} & tracts
+
+
+def test_corpus_profile_approx_matches_exact(spark):
+    """The scale path (approx_percentile sketch, O(accuracy) buffer per
+    group) must agree with the exact path within the sketch's rank-error
+    bound at sf0.1 — the contract's corpus_stats pins exact ONLY for
+    DuckDB bit-equality; this is the profiling default for big corpora."""
+    from llm_information_extraction_spark.functions.textmetrics import (
+        corpus_profile,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    approx = {
+        r["lang"]: r.asDict()
+        for r in corpus_profile(docs, approx=True, accuracy=10000).collect()
+    }
+    exact = {
+        r["lang"]: r.asDict()
+        for r in corpus_profile(docs, approx=False).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for lang, e in exact.items():
+        a = approx[lang]
+        # count/avg/max are sketch-free: identical
+        assert a["n_docs"] == e["n_docs"]
+        assert a["avg_n_chars"] == e["avg_n_chars"]
+        assert a["max_n_chars"] == e["max_n_chars"]
+        # percentiles: rank error ≤ n/accuracy ⇒ tiny value drift on
+        # a dense integer distribution
+        spread = e["max_n_chars"] or 1
+        for p in ("p50_n_chars", "p90_n_chars"):
+            assert abs(a[p] - e[p]) <= max(0.01 * spread, 2.0), (lang, p)

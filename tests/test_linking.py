@@ -82,6 +82,37 @@ def test_fuzzy_link_typos(spark):
     assert "zzzz qqqq xxxx" not in got
 
 
+def test_fuzzy_blocking_is_field_scoped(spark):
+    """Cross-field candidates must never reach the difflib scorer: the
+    shingles are field-prefixed, so two fields sharing the exact same
+    surface text produce disjoint gram sets (Jaccard 1.0 distance) and
+    the LSH join drops them before scoring."""
+    from llm_information_extraction_spark.operators.linking import (
+        _field_scoped_grams,
+        lsh_candidate_pairs,
+    )
+
+    shared = ["corpus callosum", "fornix", "alzheimers disease", "cingulum"]
+    left = spark.createDataFrame(
+        [("field_a", s) for s in shared], "field string, surface string"
+    )
+    right = spark.createDataFrame(
+        [("field_b", s) for s in shared] + [("field_a", s) for s in shared],
+        "field string, vocab_surface string",
+    )
+    pairs = lsh_candidate_pairs(
+        _field_scoped_grams(left, "surface"),
+        _field_scoped_grams(right, "vocab_surface"),
+    ).select(
+        F.col("datasetA.field").alias("fa"),
+        F.col("datasetB.field").alias("fb"),
+    )
+    cross = pairs.filter(F.col("fa") != F.col("fb")).count()
+    same = pairs.filter(F.col("fa") == F.col("fb")).count()
+    assert cross == 0
+    assert same >= len(shared)  # identical in-field surfaces all block
+
+
 def test_link_mentions_fuzzy_end_to_end(spark):
     mentions = spark.createDataFrame(
         [

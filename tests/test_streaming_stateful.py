@@ -107,3 +107,38 @@ def test_sessionize_users_event_time_timeout(spark, tmp_path):
     assert s7["session_end"].time().isoformat() == "10:05:00"
     s8 = rows[8]
     assert s8["n_events"] == 1 and s8["total_value"] == 5.0
+
+
+def test_sessionize_late_event_pulls_session_start_back(spark, tmp_path):
+    """A late-but-within-watermark event that precedes the stored session
+    start must LOWER session_start (merge via min), not leave the start
+    later than the session's earliest event."""
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: user 7 at 10:10; watermark row 99 at 10:15 → wm 10:05
+    _write(
+        spark,
+        [_ev(1, 1010, 7, "click", 1.0), _ev(2, 1015, 99, "click", 0.0)],
+        in_dir,
+    )
+    q = sessionize_users(spark, in_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: LATE event for user 7 at 10:07 (> wm 10:05, accepted);
+    # merges into the open session and must pull its start back to 10:07
+    _write(spark, [_ev(3, 1007, 7, "view", 2.0)], in_dir)
+    q2 = sessionize_users(spark, in_dir, out, ckpt)
+    q2.awaitTermination(120)
+
+    # batch 3: 12:00 row pushes the watermark past last+gap → close all
+    _write(spark, [_ev(4, 1200, 99, "click", 0.0)], in_dir)
+    q3 = sessionize_users(spark, in_dir, out, ckpt)
+    q3.awaitTermination(120)
+
+    rows = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    s7 = rows[7]
+    assert s7["n_events"] == 2 and s7["total_value"] == 3.0
+    assert s7["session_start"].time().isoformat() == "10:07:00"
+    assert s7["session_end"].time().isoformat() == "10:10:00"
