@@ -60,6 +60,9 @@ HEADLINE = [
     "no_lut_tracts",
     "table_media_features",
     "ivf_topk_emb",
+    # round-3 additions
+    "minhash_dedup_fast",
+    "media_features",
 ]
 
 

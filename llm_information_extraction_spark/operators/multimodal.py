@@ -7,14 +7,16 @@ covers images/audio/video: an opaque ``binary`` payload column plus a
 typed metadata struct, processed by Arrow-batched ``mapInPandas`` UDFs.
 
 This module makes the **Spark-side plumbing real and tested** — schema,
-partitioning, UDF signatures, batch shapes — while the codec itself is a
-deterministic fake (this container ships no image/audio libraries):
-``_decode_payload`` interprets the payload bytes as a uint8 buffer and
-"decodes" it into a (h, w) byte grid. Swapping in Pillow/librosa later
-changes ONE function; everything around it (schemas, batching,
-projection pruning of the heavy binary column) is production shape.
+partitioning, UDF signatures, batch shapes — with four REAL decoders
+(no codec library needed): csv tables (the reference's actual media),
+raw8 headerless pixel grids, 24-bit uncompressed BMP images, and PCM
+WAV audio. Compressed formats (jpeg/png/mp3/…) need libraries this
+container doesn't ship; swapping in Pillow/librosa later changes ONE
+function (``_decode_payload``) — everything around it (schemas,
+batching, projection pruning of the heavy binary column) is production
+shape.
 
-A real decode for an unsupported codec raises NotImplementedError, which
+A decode for an unsupported codec raises NotImplementedError, which
 surfaces per-row in the ``error`` column rather than killing the job.
 """
 
@@ -61,8 +63,60 @@ FEATURES_SCHEMA = StructType(
 
 #: raw8 = deterministic fake pixel codec; csv = REAL table codec (the
 #: reference's actual media type: data/raw/dementia_data/**/tables/
-#: table_NNN.csv + table_NNN_info.json)
-_SUPPORTED_CODECS = {"raw8", "csv"}
+#: table_NNN.csv + table_NNN_info.json); bmp = REAL 24-bit uncompressed
+#: BMP decoder (pure python); wav = REAL PCM WAV decoder (stdlib wave)
+_SUPPORTED_CODECS = {"raw8", "csv", "bmp", "wav"}
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to a (1, h, w) uint8
+    grayscale grid (integer BT.601 luma). Pure python/numpy — a real
+    binary image decoder, no codec library needed. Other bit depths /
+    compressions stay behind the NotImplementedError boundary."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise NotImplementedError("bmp: not a BMP file")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiihhI", payload, 14)
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"bmp: only uncompressed 24-bit supported (bpp={bpp}, comp={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]  # BMP stores bottom-up by default
+    b, g, r = rows[..., 0].astype(np.int32), rows[..., 1].astype(np.int32), rows[..., 2].astype(np.int32)
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    return luma.astype(np.uint8).reshape(1, h, w)
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Decode a PCM WAV (8-bit unsigned or 16-bit signed) to a
+    (1, 1, n_samples) uint8 grid — stdlib ``wave``, channel 0 only,
+    16-bit scaled to the uint8 range. Real binary audio path; compressed
+    formats stay behind the NotImplementedError boundary."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            nch, sampwidth = wf.getnchannels(), wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(f"wav: {e}") from e
+    if sampwidth == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8)[::nch]
+    elif sampwidth == 2:
+        s16 = np.frombuffer(frames, dtype="<i2")[::nch].astype(np.int32)
+        samples = ((s16 // 256) + 128).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"wav: sampwidth {sampwidth} unsupported")
+    return samples.reshape(1, 1, -1)
 
 
 def _md5_bytes(s: str) -> bytes:
@@ -136,16 +190,23 @@ def synth_media(
 def _decode_payload(
     payload: bytes, codec: str, width: int, height: int, n_frames: int
 ) -> np.ndarray:
-    """STUB codec boundary for pixel grids. raw8 = uint8 (frames, h, w).
+    """Codec boundary for pixel/sample grids → uint8 (frames, h, w).
 
-    Real image/audio decoding is NotImplemented in this container —
-    callers see the error per-row. Table payloads use the csv codec and
-    are decoded by :func:`_parse_csv_cells` instead.
+    REAL decoders: raw8 (headerless uint8 grid), bmp (24-bit
+    uncompressed, :func:`_decode_bmp`), wav (PCM, :func:`_decode_wav`).
+    Everything else (jpeg/png/mp3/… need codec libraries this container
+    doesn't ship) raises NotImplementedError, which callers surface
+    per-row in the ``error`` column. Table payloads use the csv codec
+    and are decoded by :func:`_parse_csv_cells` instead.
     """
-    if codec != "raw8":
-        raise NotImplementedError(f"codec {codec!r}: no decoder in this build")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return arr.reshape(n_frames, height, width)
+    if codec == "raw8":
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return arr.reshape(n_frames, height, width)
+    if codec == "bmp":
+        return _decode_bmp(payload)
+    if codec == "wav":
+        return _decode_wav(payload)
+    raise NotImplementedError(f"codec {codec!r}: no decoder in this build")
 
 
 def _parse_csv_cells(payload: bytes) -> list[list[str]]:
@@ -244,14 +305,17 @@ def extract_media_features(
                             "error": None,
                         }
                     )
-                except NotImplementedError as e:
+                # ValueError covers truncated/corrupt payloads behind a
+                # valid-looking header (np.frombuffer/reshape): a poison
+                # row must land in the error column, not kill the task
+                except (NotImplementedError, ValueError) as e:
                     out.append(
                         {
                             "media_id": r.media_id,
                             "kind": r.kind,
                             "features": None,
                             "mean_intensity": None,
-                            "error": str(e),
+                            "error": str(e) or type(e).__name__,
                         }
                     )
             yield pd.DataFrame(out)
@@ -282,11 +346,13 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                             "payload": resized.tobytes(),
                             "width": out_w,
                             "height": out_h,
-                            "n_frames": r.n_frames,
-                            "codec": r.codec,
+                            # decoded + resampled bytes are headerless
+                            # uint8 regardless of the input container
+                            "n_frames": int(resized.shape[0]),
+                            "codec": "raw8",
                         }
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append(
                         {
                             "media_id": r.media_id,

@@ -1,4 +1,6 @@
 from .incremental import (  # noqa: F401
+    compact_signature_store,
+    incremental_fuzzy_unique_documents,
     incremental_triples,
     incremental_unique_documents,
 )

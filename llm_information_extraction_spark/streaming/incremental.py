@@ -103,3 +103,199 @@ def incremental_unique_documents(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _sig_est_jaccard(a, b, num_hashes: int):
+    """Signature-estimated Jaccard: fraction of matching minhash slots
+    (unbiased estimator, stderr ≈ 1/sqrt(num_hashes))."""
+    from pyspark.sql import functions as F
+
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches.cast("double") / num_hashes
+
+
+def incremental_fuzzy_unique_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """Streaming CROSS-BATCH near-duplicate (MinHash) dedup.
+
+    Exact streaming dedup (:func:`incremental_unique_documents`) only
+    catches byte-identical content; this operator suppresses a NEAR-dup
+    arriving any number of micro-batches later. State is a compact
+    on-disk signature store — (id, sig array<bigint>) parquet partitioned
+    by batch_id: 64 longs per surviving doc, never text. Per micro-batch:
+
+    1. sign incoming docs with the batch MinHash operators;
+    2. within-batch: banded-bucket candidates → signature-estimated
+       Jaccard ≥ threshold edges → connected components → keep min id;
+    3. cross-batch: incoming buckets equi-join the store's buckets
+       restricted to ``batch_id < current`` — a REPLAYED batch never
+       sees its own signatures — estimate ≥ threshold drops the newcomer;
+    4. survivors overwrite ``output/batch_id=N``; their signatures
+       overwrite ``state/batch_id=N``. Both replay-idempotent (the
+       standard exactly-once foreachBatch recipe).
+
+    Similarity is the SIGNATURE estimate (matching-slot fraction): the
+    store deliberately holds no text to re-verify against. Callers
+    needing exact-Jaccard confirmation keep a doc store and run
+    ``minhash_verified_pairs`` offline.
+
+    At 100 TB the store is bucket-partitioned so step 3 prunes partitions
+    instead of scanning all signatures; recomputing store buckets per
+    batch is the local-mode simplification. Run
+    :func:`compact_signature_store` periodically (between stream runs) to
+    bound the partition count.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.canonicalize import connected_components
+    from ..operators.dedup import _banded_buckets, minhash_signatures
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = build_payload(batch_df).select("doc_id", "payload")
+        sig = minhash_signatures(
+            docs, "doc_id", "payload", n, num_hashes, seed
+        ).cache()
+        buckets = _banded_buckets(sig, num_hashes, bands)
+
+        # -- within-batch: est-Jaccard edges → CC → keep min id ------------
+        cand = (
+            buckets.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        edges = (
+            cand.join(sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+            .join(sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+            .filter(
+                _sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
+                >= threshold
+            )
+            .select(
+                F.col("id_a").cast("string").alias("src"),
+                F.col("id_b").cast("string").alias("dst"),
+            )
+        )
+        cc = connected_components(edges)
+        in_batch_losers = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        survivors = sig.join(
+            in_batch_losers.withColumnsRenamed({"doc_id": "id"}), "id", "left_anti"
+        )
+
+        # -- cross-batch: store buckets (strictly older batches) ------------
+        try:
+            store = spark.read.parquet(state_dir).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        except Exception:  # first batch: no store yet
+            store = None
+        if store is not None and not store.isEmpty():
+            old_sig = store.select("id", "sig")
+            old_buckets = _banded_buckets(old_sig, num_hashes, bands)
+            new_buckets = _banded_buckets(survivors, num_hashes, bands)
+            hits = (
+                new_buckets.alias("nw")
+                .join(
+                    old_buckets.alias("od"),
+                    (F.col("nw.band") == F.col("od.band"))
+                    & (F.col("nw.bucket") == F.col("od.bucket")),
+                )
+                .select(
+                    F.col("nw.id").alias("new_id"),
+                    F.col("od.id").alias("old_id"),
+                )
+                .distinct()
+                .join(
+                    survivors.withColumnsRenamed({"id": "new_id", "sig": "sig_n"}),
+                    "new_id",
+                )
+                .join(
+                    old_sig.withColumnsRenamed({"id": "old_id", "sig": "sig_o"}),
+                    "old_id",
+                )
+                .filter(
+                    _sig_est_jaccard(F.col("sig_n"), F.col("sig_o"), num_hashes)
+                    >= threshold
+                )
+                .select(F.col("new_id").alias("id"))
+                .distinct()
+            )
+            survivors = survivors.join(hits, "id", "left_anti")
+
+        survivors = survivors.cache()
+        # overwrite-per-batch-directory = replay-idempotent commit
+        docs.join(
+            survivors.select(F.col("id").alias("doc_id")), "doc_id", "leftsemi"
+        ).write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        survivors.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        sig.unpersist()
+        survivors.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
+    """Merge all ``batch_id=K`` partitions of a signature store into the
+    single highest partition; returns the surviving batch_id.
+
+    Safe ONLY between stream runs (no concurrent writer): every id keeps
+    a row, and future batches N > max read ``batch_id < N`` which still
+    matches everything — replay of any batch ≤ max cannot occur because
+    those batches are already committed in the stream checkpoint.
+    """
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    parts = sorted(glob.glob(f"{state_dir}/batch_id=*"))
+    if len(parts) <= 1:
+        return int(parts[0].rsplit("=", 1)[1]) if parts else -1
+    max_id = max(int(p.rsplit("=", 1)[1]) for p in parts)
+    merged = (
+        spark.read.parquet(state_dir)
+        .select("id", "sig")
+        .dropDuplicates(["id"])
+    )
+    tmp = f"{state_dir}/_compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    for p in parts:
+        shutil.rmtree(p)
+    shutil.move(tmp, f"{state_dir}/batch_id={max_id}")
+    return max_id

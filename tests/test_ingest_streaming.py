@@ -144,3 +144,93 @@ def test_streaming_sink_idempotent_on_batch_replay(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_first
+
+
+def _span_doc(doc_id, text):
+    return (doc_id, [("body", text, None, 0)])
+
+
+def _salad(rng, n_words):
+    words = [f"w{rng.integers(0, 5000):04d}" for _ in range(n_words)]
+    return " ".join(words)
+
+
+def test_streaming_fuzzy_dedup_catches_near_dup_batches_later(spark, tmp_path):
+    """A NEAR-duplicate (one word changed) arriving two micro-batches
+    after the original is suppressed by the signature store; replaying
+    the last batch (crash before checkpoint commit) changes nothing; the
+    store still answers after compaction."""
+    import numpy as np
+
+    from llm_information_extraction_spark.sources.synthetic import (
+        DOCUMENTS_SCHEMA,
+    )
+    from llm_information_extraction_spark.streaming.incremental import (
+        compact_signature_store,
+        incremental_fuzzy_unique_documents,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    rng = np.random.default_rng(5)
+
+    base_text = _salad(rng, 60)
+    near_dup = base_text.replace(base_text.split()[30], "wXXXX", 1)
+    assert near_dup != base_text
+
+    def run():
+        import time
+
+        q = incremental_fuzzy_unique_documents(
+            spark, in_dir, out_dir, ckpt, state, threshold=0.8
+        )
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):  # full deregistration before the next start
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+
+    def write(rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 0: the original + one unrelated doc
+    write([_span_doc("a0", base_text), _span_doc("a1", _salad(rng, 40))])
+    run()
+    # batch 1: unrelated noise
+    write([_span_doc("b0", _salad(rng, 40))])
+    run()
+    # batch 2: the near-dup (two batches later) + a fresh doc
+    write([_span_doc("c0", near_dup), _span_doc("c1", _salad(rng, 40))])
+    run()
+
+    ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert ids == {"a0", "a1", "b0", "c1"}  # c0 suppressed cross-batch
+
+    # -- replay: drop the LAST checkpoint commit → Spark re-runs batch 2
+    import os
+
+    commits = sorted(os.listdir(f"{ckpt}/commits"))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    crc = f"{ckpt}/commits/.{last}.crc"  # orphan checksum breaks rewrite
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert ids2 == ids  # replay-idempotent: same rows, no dupes
+    assert spark.read.parquet(out_dir).count() == 4
+
+    # -- compaction: one partition left, same answers afterwards ----------
+    compact_signature_store(spark, state)
+    import glob
+
+    assert len(glob.glob(f"{state}/batch_id=*")) == 1
+    write([_span_doc("d0", base_text), _span_doc("d1", _salad(rng, 40))])
+    run()
+    ids3 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert ids3 == ids | {"d1"}  # exact copy d0 still caught post-compact
