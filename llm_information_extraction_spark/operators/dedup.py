@@ -496,9 +496,12 @@ def minhash_dedup_groups_fast(
     The pairwise path (:func:`minhash_dedup_groups`) enumerates candidate
     PAIRS, which is Θ(Σ cluster²): one 14k-copy boilerplate cluster alone
     yields 10⁸ pairs (measured on a 10⁵-doc synthetic corpus). This
-    variant instead runs connected components over the BIPARTITE
-    doc ↔ (band, bucket) graph: exactly n·bands edges no matter how the
-    clusters are shaped — the RefinedWeb/SlimPajama-style recipe.
+    variant instead treats each (band, bucket) as a hyperedge: one
+    aggregation collapses every bucket to STAR edges (member → bucket-min
+    doc) — at most n·bands edges no matter how the clusters are shaped,
+    equivalent to CC over the bipartite doc ↔ bucket graph but with
+    doc-only nodes and a near-star start — the RefinedWeb/SlimPajama-
+    style recipe.
 
     Precision equals banding precision (clusters are unions of shared
     buckets, no per-pair exact-Jaccard check). Pass ``verify_threshold``
@@ -527,22 +530,22 @@ def minhash_dedup_groups_fast(
             seed,
         )
     banded = _banded_buckets(sig, num_hashes, bands)
-    edges = banded.select(
-        F.concat_ws("\x1f", F.lit("D"), F.col("id").cast("string")).alias("src"),
-        F.concat_ws(
-            "\x1f", F.lit("B"), F.col("band").cast("string"),
-            F.col("bucket").cast("string"),
-        ).alias("dst"),
+    # collapse each (band, bucket) to STAR edges member → bucket-min doc
+    # with ONE map-side-combining aggregation: connectivity is identical
+    # to the bipartite doc↔bucket graph (a bucket's members stay joined
+    # through its min member), but CC then runs over doc-only nodes —
+    # half the node count — and starts one hop from star shape, so it
+    # converges in fewer large-star/small-star rounds
+    bucket_min = banded.groupBy("band", "bucket").agg(
+        F.min(F.col("id").cast("string")).alias("rep")
+    )
+    edges = (
+        banded.join(bucket_min, ["band", "bucket"])
+        .filter(F.col("id").cast("string") != F.col("rep"))
+        .select(F.col("id").cast("string").alias("src"), F.col("rep").alias("dst"))
     )
     cc = connected_components(edges)
-    docs_cc = (
-        cc.filter(F.col("node").startswith("D\x1f"))
-        .select(
-            F.split_part("node", F.lit("\x1f"), F.lit(2)).alias("doc_id"),
-            F.col("component"),
-        )
-    )
-    # component reps are bucket nodes ('B' < 'D'); remap to min doc id
+    docs_cc = cc.select(F.col("node").alias("doc_id"), "component")
     rep = docs_cc.groupBy("component").agg(
         F.min("doc_id").alias("group_id"), F.count(F.lit(1)).alias("sz")
     )

@@ -216,3 +216,29 @@ def test_minhash_uses_mapside_partial_aggregation(spark):
     assert "partial_min" in plan
     # and the scan must prune to exactly (doc_id, text)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bucket_star_collapse_uses_mapside_partial_min(spark):
+    """minhash_dedup_groups_fast's bucket→star-edge collapse must
+    pre-aggregate the per-(band,bucket) min doc id on the map side and
+    never plan a cartesian product; the CC input is doc-only edges."""
+    from llm_information_extraction_spark.operators.dedup import (
+        _banded_buckets,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    banded = _banded_buckets(minhash_signatures(docs), 64, 16)
+    bucket_min = banded.groupBy("band", "bucket").agg(
+        F.min(F.col("id").cast("string")).alias("rep")
+    )
+    edges = (
+        banded.join(bucket_min, ["band", "bucket"])
+        .filter(F.col("id").cast("string") != F.col("rep"))
+        .select(F.col("id").cast("string").alias("src"), F.col("rep").alias("dst"))
+    )
+    plan = _plan(edges)
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
