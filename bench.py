@@ -63,6 +63,9 @@ HEADLINE = [
     # round-3 additions
     "minhash_dedup_fast",
     "media_features",
+    "pii_scrub_docs",
+    "doc_chunks",
+    "packed_sequences",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Training-data text preparation: PII scrubbing, token-window chunking,
+sequence packing.
+
+Extensions beyond the reference (which processes a 622-doc curated
+corpus): the operations a web-scale LLM training-data pipeline runs
+between ingest and tokenization. All three are pure Catalyst column
+expressions — no UDFs, no shuffles beyond what the semantics require:
+
+- :func:`scrub_pii` is a per-row projection (zero shuffles);
+- :func:`chunk_documents` is posexplode (zero shuffles);
+- :func:`pack_sequences` shuffles once, by the salt group.
+
+Regex patterns are RE2-compatible (no backrefs/lookaheads) so the same
+pattern string runs identically in Spark (java.util.regex) and the
+DuckDB oracle (RE2) — required for the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) applied IN ORDER — email before ip so a
+#: numeric mail domain is consumed by <EMAIL>; ssn before phone so the
+#: looser phone pattern can't eat a dashed SSN first. Fixed order makes
+#: the composition deterministic across engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    count_col: str = "n_redactions",
+) -> DataFrame:
+    """Redact common PII shapes (email / SSN / IPv4 / phone) from
+    ``text_col`` and count redactions per row.
+
+    One whole-stage-codegen projection: the patterns chain as nested
+    regexp_replace calls; the count is derived from the marker tokens in
+    the scrubbed output (so it is consistent with the replacement by
+    construction, including overlapping-pattern interactions). Rows with
+    many redactions are candidates for dropping entirely — PII-dense
+    documents are usually scraped contact pages, not prose.
+    """
+    scrubbed: Column = F.coalesce(F.col(text_col), F.lit(""))
+    for _, pattern, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+    markers = "<EMAIL>|<ID>|<IP>|<PHONE>"
+    n = F.size(F.regexp_extract_all(scrubbed, F.lit(markers), F.lit(0)))
+    return df.withColumn(out_col, scrubbed).withColumn(
+        count_col, n.cast("long")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into word-token windows of ``max_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) where
+    stride = max_tokens - overlap. Output:
+    (id, chunk_idx int, chunk_text string, n_tokens long); a document
+    shorter than one window yields exactly one chunk. Pure expressions:
+    split → sequence → posexplode → slice → array_join, all inside
+    codegen — the 100-TB-friendly shape (no UDF, no shuffle; chunking
+    happens where the document already lives).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.size(words)
+    # number of windows: 1 + ceil(max(n - max_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n_words - max_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * stride + 1, max_tokens),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_words"),
+    )
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+        F.size("chunk_words").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int,
+    num_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-budget training bins (sequence packing).
+
+    Documents are salted into ``num_groups`` independent packing groups
+    by a portable md5 hash (same trick as ``hash_sample`` — engine- and
+    partitioning-independent), then packed contiguously in doc-id order
+    within each group: bin = floor(cumulative_tokens_before / budget).
+    Output: (id, pack_group int, bin_id long, n_tokens long).
+
+    Scale shape: ONE shuffle keyed by the salt group; each group's
+    running sum is an independent window, so packing parallelizes to
+    ``num_groups`` regardless of corpus size (a single global running
+    sum would serialize the corpus through one partition). Contiguous
+    cumulative packing wastes at most one document's tokens per bin
+    boundary versus first-fit, and unlike first-fit it is deterministic,
+    order-stable under reruns, and expressible as a window aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    group = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+        % num_groups
+    ).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col),
+        group.alias("pack_group"),
+        n_tokens.alias("n_tokens"),
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(context_tokens)).cast("long")
+    )

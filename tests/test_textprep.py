@@ -1,0 +1,102 @@
+"""PII scrub / chunking / sequence packing (training-data prep ops)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from llm_information_extraction_spark.operators.textprep import (
+    chunk_documents,
+    pack_sequences,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        ("d1", "reach me at alice.smith+x@mail.example.org or bob@ex.io"),
+        ("d2", "ssn 123-45-6789 server 10.0.255.7 call +1 (415) 555-0199"),
+        ("d3", "plain prose with no contact details at all"),
+        ("d4", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got["d1"]["clean_text"] == "reach me at <EMAIL> or <EMAIL>"
+    assert got["d1"]["n_redactions"] == 2
+    assert "<ID>" in got["d2"]["clean_text"]
+    assert "<IP>" in got["d2"]["clean_text"]
+    assert "<PHONE>" in got["d2"]["clean_text"]
+    assert got["d2"]["n_redactions"] == 3
+    assert got["d3"]["clean_text"] == rows[2][1]
+    assert got["d3"]["n_redactions"] == 0
+    assert got["d4"]["clean_text"] == "" and got["d4"]["n_redactions"] == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [("a", " ".join(words)), ("b", "x y")], "doc_id string, text string"
+    )
+    got = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    a = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in got
+        if r["doc_id"] == "a"
+    )
+    # stride 3: [0:4), [3:7), [6:10)
+    assert a == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+    b = [r for r in got if r["doc_id"] == "b"]
+    assert len(b) == 1 and b[0]["chunk_text"] == "x y" and b[0]["n_tokens"] == 2
+    # consecutive chunks share exactly `overlap` tokens; union covers all
+    assert a[0][1].split()[-1] == a[1][1].split()[0]
+    covered = set()
+    for _, text, _ in a:
+        covered.update(text.split())
+    assert covered == set(words)
+
+
+def test_pack_sequences_bins_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(docs, context_tokens=512, num_groups=8)
+    rows = packed.collect()
+    # python recomputation of the same contiguous packing
+    import hashlib
+
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for g, members in by_group.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            want_group = (
+                int(
+                    hashlib.md5(f"{r['doc_id']}pack".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 8
+            )
+            assert r["pack_group"] == want_group
+            assert r["bin_id"] == cum // 512, (g, r)
+            cum += r["n_tokens"]
+    # partitioning-invariance: same assignment after a repartition
+    again = {
+        (r["doc_id"], r["pack_group"], r["bin_id"])
+        for r in pack_sequences(
+            docs.repartition(13), context_tokens=512, num_groups=8
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["pack_group"], r["bin_id"]) for r in rows}
+
+
+def test_pack_sequences_single_shuffle_by_group(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pack_sequences(docs, context_tokens=512)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1  # the group shuffle
+    assert "CartesianProduct" not in final
