@@ -66,6 +66,7 @@ HEADLINE = [
     "pii_scrub_docs",
     "doc_chunks",
     "packed_sequences",
+    "repetition_docs",
 ]
 
 

@@ -12,6 +12,7 @@ from .textmetrics import (  # noqa: F401
     detect_lang,
     doc_fingerprint,
     quality_score,
+    repetition_stats,
     token_count,
     tokenize,
 )

@@ -137,3 +137,57 @@ def corpus_profile(
         F.col("_pcts")[1].cast("double").alias(f"p90_{value_col}"),
         f"max_{value_col}",
     )
+
+
+def repetition_stats(col: Column | str, n: int = 3) -> Column:
+    """Gopher-style within-document repetition signals as a struct
+    (dup_ngram_frac double, top_word_frac double).
+
+    - ``dup_ngram_frac``: 1 − |distinct word n-grams| / |word n-grams| —
+      degenerate (looped) generated text repeats its own n-grams.
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words — boilerplate and keyword-stuffed pages are dominated by one
+      token.
+
+    Pure expressions; the words array is bound ONCE via the
+    single-element-array transform scope (Catalyst performs no CSE
+    across higher-order-function lambda boundaries — see
+    ``word_shingles``), so the per-word inner filter sees a lambda
+    variable, not a re-evaluated subtree.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
+            ),
+            " ",
+        ),
+        lambda w: w != F.lit(""),
+    )
+
+    def build(ws: Column) -> Column:
+        nw = F.size(ws)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(nw - n + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+        dup = F.when(
+            nw >= n,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0))
+        counts = F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+        top = F.when(
+            nw > 0,
+            F.array_max(counts).cast("double") / nw.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            F.round(dup, 6).alias("dup_ngram_frac"),
+            F.round(top, 6).alias("top_word_frac"),
+        )
+
+    return F.transform(F.array(words), build)[0]

@@ -100,3 +100,29 @@ def test_pack_sequences_single_shuffle_by_group(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert final.count("Exchange hashpartitioning") == 1  # the group shuffle
     assert "CartesianProduct" not in final
+
+
+def test_repetition_stats_signals(spark):
+    from llm_information_extraction_spark.functions.textmetrics import (
+        repetition_stats,
+    )
+
+    rows = [
+        ("loop", "spam " * 50),                       # degenerate repeat
+        ("varied", " ".join(f"w{i}" for i in range(30))),  # all distinct
+        ("short", "a b"),                             # < n words
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["s"].asDict()
+        for r in df.select("doc_id", repetition_stats("text").alias("s")).collect()
+    }
+    # 50x the same word: 48 identical 3-grams -> dup frac 47/48, top 1.0
+    assert got["loop"]["dup_ngram_frac"] == round(47 / 48, 6)
+    assert got["loop"]["top_word_frac"] == 1.0
+    assert got["varied"]["dup_ngram_frac"] == 0.0
+    assert got["varied"]["top_word_frac"] == round(1 / 30, 6)
+    assert got["short"]["dup_ngram_frac"] == 0.0
+    assert got["short"]["top_word_frac"] == 0.5
+    assert got["null"] == {"dup_ngram_frac": 0.0, "top_word_frac": 0.0}
