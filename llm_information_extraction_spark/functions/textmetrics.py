@@ -177,13 +177,31 @@ def repetition_stats(col: Column | str, n: int = 3) -> Column:
             F.lit(1.0)
             - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
         ).otherwise(F.lit(0.0))
-        counts = F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        # max word frequency via ONE run-length pass over the sorted
+        # array — a per-distinct-word filter would be
+        # O(distinct · n_words) per document, quadratic on long docs
+        run_max = F.aggregate(
+            F.array_sort(ws),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
         )
         top = F.when(
             nw > 0,
-            F.array_max(counts).cast("double") / nw.cast("double"),
+            run_max.cast("double") / nw.cast("double"),
         ).otherwise(F.lit(0.0))
         return F.struct(
             F.round(dup, 6).alias("dup_ngram_frac"),

@@ -107,8 +107,11 @@ def _decode_wav(payload: bytes) -> np.ndarray:
         with wave.open(io.BytesIO(payload)) as wf:
             nch, sampwidth = wf.getnchannels(), wf.getsampwidth()
             frames = wf.readframes(wf.getnframes())
-    except wave.Error as e:
-        raise NotImplementedError(f"wav: {e}") from e
+    # EOFError: payloads truncated below a RIFF chunk header raise it
+    # from chunk.Chunk, not wave.Error — must stay inside the per-row
+    # poison-pill boundary
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(f"wav: {e or 'truncated'}") from e
     if sampwidth == 1:
         samples = np.frombuffer(frames, dtype=np.uint8)[::nch]
     elif sampwidth == 2:

@@ -20,6 +20,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _raw_words(text_col: str) -> Column:
+    """Whitespace tokens of the raw (case-preserving) text, empties
+    dropped. Shared by chunking and packing so the two operators (and
+    the ``raw_words`` mirror in ``__spark_entry__.oracle_sql``) cannot
+    silently diverge on tokenization."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+
+
 #: (name, pattern, replacement) applied IN ORDER — email before ip so a
 #: numeric mail domain is consumed by <EMAIL>; ssn before phone so the
 #: looser phone pattern can't eat a dashed SSN first. Fixed order makes
@@ -79,19 +90,23 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != F.lit(""),
-    )
-    n_words = F.size(words)
-    # number of windows: 1 + ceil(max(n - max_tokens, 0) / stride)
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(n_words - max_tokens, F.lit(0)) / F.lit(stride)
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(words, i * stride + 1, max_tokens),
-    )
+
+    # bind the words array ONCE via the single-element-array transform
+    # scope: Catalyst does no CSE across HOF lambda boundaries, so
+    # referencing the split+filter subtree inside the per-window lambda
+    # would re-tokenize the whole document once per window
+    def build(ws: Column) -> Column:
+        n_words = F.size(ws)
+        # number of windows: 1 + ceil(max(n - max_tokens, 0) / stride)
+        n_chunks = F.lit(1) + F.ceil(
+            F.greatest(n_words - max_tokens, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(ws, i * stride + 1, max_tokens),
+        )
+
+    chunks = F.transform(F.array(_raw_words(text_col)), build)[0]
     ex = df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_words"),
@@ -130,12 +145,7 @@ def pack_sequences(
     """
     from pyspark.sql.window import Window
 
-    n_tokens = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda w: w != F.lit(""),
-        )
-    ).cast("long")
+    n_tokens = F.size(_raw_words(text_col)).cast("long")
     group = (
         F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
         .cast("long")

@@ -211,11 +211,19 @@ def incremental_fuzzy_unique_documents(
         )
 
         # -- cross-batch: store buckets (strictly older batches) ------------
+        # only the path-missing case means "first batch, no store yet";
+        # any other read failure (corrupt footer, permissions, botched
+        # compaction) must FAIL the batch so the checkpoint retries —
+        # swallowing it would silently disable cross-batch dedup
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(state_dir).filter(
                 F.col("batch_id") < F.lit(batch_id)
             )
-        except Exception:  # first batch: no store yet
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             store = None
         if store is not None and not store.isEmpty():
             old_sig = store.select("id", "sig")
@@ -278,11 +286,23 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     a row, and future batches N > max read ``batch_id < N`` which still
     matches everything — replay of any batch ≤ max cannot occur because
     those batches are already committed in the stream checkpoint.
+
+    Crash-safe ordering — duplicates are harmless to the dedup semantics
+    (candidate hits are set-joined), loss is not, so the merged rows are
+    ADDED to the surviving partition before anything is deleted:
+
+    1. write the deduped merge to a sibling staging dir (the leading
+       underscore keeps it out of Spark partition discovery);
+    2. move its part-files INTO ``batch_id=<max>`` (crash mid-move →
+       duplicate rows at worst, every id still present somewhere);
+    3. delete the older partitions and the staging dir (crash mid-delete
+       → leftover duplicates, again harmless; re-running compaction
+       cleans up).
     """
     import glob
+    import os
     import shutil
-
-    from pyspark.sql import functions as F
+    import uuid
 
     parts = sorted(glob.glob(f"{state_dir}/batch_id=*"))
     if len(parts) <= 1:
@@ -293,9 +313,13 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
         .select("id", "sig")
         .dropDuplicates(["id"])
     )
-    tmp = f"{state_dir}/_compacting"
-    merged.write.mode("overwrite").parquet(tmp)
+    staging = f"{state_dir}/_compacting"
+    merged.write.mode("overwrite").parquet(staging)
+    keep = f"{state_dir}/batch_id={max_id}"
+    for f in glob.glob(f"{staging}/part-*"):
+        shutil.move(f, os.path.join(keep, f"compact-{uuid.uuid4().hex}-{os.path.basename(f)}"))
     for p in parts:
-        shutil.rmtree(p)
-    shutil.move(tmp, f"{state_dir}/batch_id={max_id}")
+        if p != keep:
+            shutil.rmtree(p)
+    shutil.rmtree(staging)
     return max_id

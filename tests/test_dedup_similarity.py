@@ -639,6 +639,8 @@ def test_compressed_codecs_still_error_per_row(spark):
         ("x3", "d", "audio", bytearray(b"RIFFgarbage"), 0, 0, 1, "wav"),
         # valid header, truncated pixel data → ValueError path
         ("x4", "d", "image", bytearray(full[:80]), 0, 0, 1, "bmp"),
+        # sub-chunk-header WAV → EOFError path (not wave.Error)
+        ("x5", "d", "audio", bytearray(b"RIFF"), 0, 0, 1, "wav"),
     ]
     media = spark.createDataFrame(
         rows,
@@ -646,5 +648,6 @@ def test_compressed_codecs_still_error_per_row(spark):
         "width int, height int, n_frames int, codec string",
     )
     got = {r["media_id"]: r for r in extract_media_features(media).collect()}
-    assert all(got[m]["error"] is not None for m in ("x1", "x2", "x3", "x4"))
-    assert all(got[m]["features"] is None for m in ("x1", "x2", "x3", "x4"))
+    bad = ("x1", "x2", "x3", "x4", "x5")
+    assert all(got[m]["error"] is not None for m in bad)
+    assert all(got[m]["features"] is None for m in bad)
