@@ -11,7 +11,11 @@ from .dedup import (  # noqa: F401
     minhash_verified_pairs,
     simhash_near_dup_pairs,
 )
-from .graph import co_mention_edges, predicate_object_degrees  # noqa: F401
+from .graph import (  # noqa: F401
+    co_mention_edges,
+    pagerank,
+    predicate_object_degrees,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
     ivf_index,

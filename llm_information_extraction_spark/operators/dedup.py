@@ -227,6 +227,11 @@ def minhash_signature(
     :func:`minhash_signatures` (explode + groupBy) on large corpora: it
     runs in whole-stage codegen with map-side partial aggregation,
     whereas array higher-order functions are interpreted per element.
+    Measured (round 3, local[32], warm best-of-2): this HOF form is ~3×
+    faster on short documents (0.28 s vs 0.89 s over sf0.1's ~90-word
+    docs — per-row overhead dominates there), while explode+agg wins on
+    the 400k-doc larger-payload corpus (18.4 s vs 20.7 s) and is the
+    scale default.
     """
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)

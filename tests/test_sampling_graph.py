@@ -93,3 +93,44 @@ def test_co_mention_edges_and_degrees(spark):
     }
     assert deg[("whitematter_tracts", "cc")] == 2  # distinct docs, not rows
     assert deg[("Disease_study", "pd")] == 1
+
+
+def test_pagerank_three_node_classic(spark):
+    """A->B, A->C, B->C, C->A with d=0.85: C collects from A and B so
+    rank(C) > rank(A) > rank(B); mass is conserved; the fixed-point
+    (integer nano-unit) mode agrees with the double mode to < 1e-5 and
+    is invariant under repartitioning."""
+    from llm_information_extraction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    d = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(d.values()) - 1.0) < 1e-9  # no dangling: conserved
+    assert d["c"] > d["a"] > d["b"]
+    fp = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(edges, iterations=20, fixed_point=True).collect()
+    }
+    for k in d:
+        assert abs(fp[k] / 1e9 - d[k]) < 1e-5, (k, fp[k], d[k])
+    fp2 = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(
+            edges.repartition(7), iterations=20, fixed_point=True
+        ).collect()
+    }
+    assert fp2 == fp  # bit-deterministic
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """b has no out-edges: its mass must be redistributed, not lost."""
+    from llm_information_extraction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string"
+    )
+    d = {r["node"]: r["rank"] for r in pagerank(edges, iterations=30).collect()}
+    assert abs(sum(d.values()) - 1.0) < 1e-6
+    assert d["b"] > d["a"] == d["c"]
