@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_chunks",
     "packed_sequences",
     "repetition_docs",
+    "contaminated_train_docs",
 ]
 
 

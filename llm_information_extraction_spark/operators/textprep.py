@@ -165,3 +165,63 @@ def pack_sequences(
     return base.withColumn(
         "bin_id", F.floor(cum_before / F.lit(context_tokens)).cast("long")
     )
+
+
+def _portable_gram_key(gram: Column) -> Column:
+    """56-bit md5-derived key for an n-gram (portable across engines:
+    DuckDB computes the identical value, which is what makes
+    decontamination oracle-checkable). 56 bits (14 hex chars) keeps the
+    value inside a signed long under ANSI mode; collision probability
+    for 10⁹ distinct grams is ~10⁻²."""
+    return F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Training documents sharing ANY word ``n``-gram with the eval set
+    (the GPT-3/PaLM-style 13-gram decontamination rule).
+
+    Returns a one-column DataFrame (``id_col``) of contaminated ids.
+    Shape: both sides explode to (id, 56-bit gram key); the train side
+    is LEFT-SEMI joined against the distinct eval keys — one shuffle
+    keyed by an 8-byte long (never the gram strings), and AQE broadcasts
+    the eval side when it is small (the common case: eval benchmarks are
+    tiny next to a training corpus). A document shorter than ``n`` words
+    contributes one partial gram (its full normalized text), so an exact
+    short-text match still flags — ``word_shingles`` semantics.
+    """
+    from .dedup import word_shingles
+
+    eval_text_col = eval_text_col or text_col
+    train_tok = train.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    ).select(id_col, _portable_gram_key(F.col("g")).alias("k"))
+    eval_keys = (
+        eval_df.select(F.explode(word_shingles(eval_text_col, n)).alias("g"))
+        .select(_portable_gram_key(F.col("g")).alias("k"))
+        .distinct()
+    )
+    return (
+        train_tok.join(eval_keys, "k", "leftsemi").select(id_col).distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Drop training documents that share any word n-gram with the eval
+    set — benchmark-leakage removal as one anti-join."""
+    bad = contaminated_ids(train, eval_df, n, id_col, text_col, eval_text_col)
+    return train.join(bad, id_col, "left_anti")

@@ -126,3 +126,39 @@ def test_repetition_stats_signals(spark):
     assert got["short"]["dup_ngram_frac"] == 0.0
     assert got["short"]["top_word_frac"] == 0.5
     assert got["null"] == {"dup_ngram_frac": 0.0, "top_word_frac": 0.0}
+
+
+def test_decontamination_13gram_rule(spark):
+    from llm_information_extraction_spark.operators.textprep import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    leak = " ".join(f"q{i}" for i in range(13))  # a 13-gram from eval
+    train = spark.createDataFrame(
+        [
+            ("t1", "clean prose " + " ".join(f"a{i}" for i in range(20))),
+            ("t2", "prefix words " + leak + " suffix words"),  # leaked
+            ("t3", " ".join(f"b{i}" for i in range(12))),  # short, clean
+        ],
+        "doc_id string, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("e1", leak + " plus unrelated tail tokens here")],
+        "doc_id string, text string",
+    )
+    bad = {r["doc_id"] for r in contaminated_ids(train, eval_df).collect()}
+    assert bad == {"t2"}
+    kept = {r["doc_id"] for r in decontaminate(train, eval_df).collect()}
+    assert kept == {"t1", "t3"}
+    # a short doc whose FULL text appears in eval is still caught
+    # (partial-gram semantics)
+    train2 = spark.createDataFrame(
+        [("s1", " ".join(f"q{i}" for i in range(5)))],
+        "doc_id string, text string",
+    )
+    eval2 = spark.createDataFrame(
+        [("e2", " ".join(f"q{i}" for i in range(5)))],
+        "doc_id string, text string",
+    )
+    assert {r["doc_id"] for r in contaminated_ids(train2, eval2).collect()} == {"s1"}
