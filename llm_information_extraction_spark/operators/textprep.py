@@ -183,18 +183,29 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str | None = None,
+    max_gram_docs: int | None = None,
 ) -> DataFrame:
     """Training documents sharing ANY word ``n``-gram with the eval set
     (the GPT-3/PaLM-style 13-gram decontamination rule).
 
     Returns a one-column DataFrame (``id_col``) of contaminated ids.
     Shape: both sides explode to (id, 56-bit gram key); the train side
-    is LEFT-SEMI joined against the distinct eval keys — one shuffle
-    keyed by an 8-byte long (never the gram strings), and AQE broadcasts
-    the eval side when it is small (the common case: eval benchmarks are
-    tiny next to a training corpus). A document shorter than ``n`` words
+    is joined against the distinct eval keys — one shuffle keyed by an
+    8-byte long (never the gram strings), and AQE broadcasts the eval
+    side when it is small (the common case: eval benchmarks are tiny
+    next to a training corpus). A document shorter than ``n`` words
     contributes one partial gram (its full normalized text), so an exact
     short-text match still flags — ``word_shingles`` semantics.
+
+    ``max_gram_docs``: ignore eval grams matched by MORE than this many
+    distinct training documents. On template-heavy corpora the raw rule
+    over-fires catastrophically (measured: a 400k-doc boilerplate-style
+    corpus flags 100% of documents against a 1k eval sample, through
+    shared template grams) — the same chaining mechanism that breaks
+    naive MinHash there. A gram hit by thousands of training docs is
+    boilerplate, not leakage; the cap is an ABSOLUTE doc count (exact
+    arithmetic, engine-reproducible) and the frequency pass runs only
+    over eval-matched grams, so its cost is bounded by the eval set.
     """
     from .dedup import word_shingles
 
@@ -208,8 +219,21 @@ def contaminated_ids(
         .select(_portable_gram_key(F.col("g")).alias("k"))
         .distinct()
     )
+    if max_gram_docs is None:
+        return (
+            train_tok.join(eval_keys, "k", "leftsemi")
+            .select(id_col)
+            .distinct()
+        )
+    hits = train_tok.join(eval_keys, "k").select(id_col, "k").distinct()
+    boilerplate = (
+        hits.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_gram_docs)
+        .select("k")
+    )
     return (
-        train_tok.join(eval_keys, "k", "leftsemi").select(id_col).distinct()
+        hits.join(boilerplate, "k", "left_anti").select(id_col).distinct()
     )
 
 

@@ -162,3 +162,33 @@ def test_decontamination_13gram_rule(spark):
         "doc_id string, text string",
     )
     assert {r["doc_id"] for r in contaminated_ids(train2, eval2).collect()} == {"s1"}
+
+
+def test_decontamination_boilerplate_cap(spark):
+    """max_gram_docs ignores template grams hit by many training docs:
+    only the genuinely rare leak flags."""
+    from llm_information_extraction_spark.operators.textprep import (
+        contaminated_ids,
+    )
+
+    boiler = " ".join(f"t{i}" for i in range(13))  # shared template line
+    leak = " ".join(f"z{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [(f"d{i}", boiler + f" filler{i} " + " ".join(f"x{i}_{j}" for j in range(13)))
+         for i in range(20)]
+        + [("bad", "some prefix " + leak + " some suffix")],
+        "doc_id string, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("e1", boiler + " and separately " + leak)],
+        "doc_id string, text string",
+    )
+    # raw rule: everything flags through the template gram
+    raw = {r["doc_id"] for r in contaminated_ids(train, eval_df).collect()}
+    assert len(raw) == 21
+    # capped: the 20-doc template gram is ignored, only the leak flags
+    capped = {
+        r["doc_id"]
+        for r in contaminated_ids(train, eval_df, max_gram_docs=5).collect()
+    }
+    assert capped == {"bad"}
