@@ -234,15 +234,24 @@ def minhash_signature(
     scale default.
     """
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
-        ),
-    )
+
+    # bind the seeds array ONCE via the single-element-array transform
+    # scope — referencing the computed sequence inside the aggregate
+    # lambda would re-materialize the 64-element array per shingle
+    # (no CSE across HOF lambda boundaries)
+    def build(seeds: Column) -> Column:
+        init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+        return F.aggregate(
+            hashes,
+            init,
+            lambda acc, h: F.zip_with(
+                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
+            ),
+        )
+
+    return F.transform(
+        F.array(F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))), build
+    )[0]
 
 
 def _signatures_from_tokens(

@@ -68,16 +68,17 @@ def pagerank(
     Each iteration is ONE shuffle (contribution aggregation keyed by
     dst) plus a broadcast of the two scalar terms (dangling mass and
     node count); lineage is truncated with ``localCheckpoint`` every
-    ``checkpoint_every`` iterations so 10⁂ iterations don't grow the
+    ``checkpoint_every`` iterations so tens of iterations don't grow the
     plan. Dangling-node mass is redistributed uniformly.
 
     ``fixed_point=True`` computes in integer nano-rank units (total mass
     10⁹) with floor division everywhere: per-node shares, contributions
     and the damping blend are exact long arithmetic, so the result is
     BIT-DETERMINISTIC regardless of partitioning, summation order, or
-    engine — that is what lets the driver value-check a 10-iteration run
-    against a DuckDB replication, and what makes distributed regression
-    runs reproducible. The default double mode is the conventional
+    engine — that is what lets the driver value-check a fixed-iteration
+    run against a DuckDB replication (the contract query replays 5
+    iterations), and what makes distributed regression runs
+    reproducible. The default double mode is the conventional
     formulation (values differ from fixed-point by < 1e-6 relative).
 
     Returns (node, rank double) or (node, rank_nano long).

@@ -225,7 +225,12 @@ def contaminated_ids(
             .select(id_col)
             .distinct()
         )
-    hits = train_tok.join(eval_keys, "k").select(id_col, "k").distinct()
+    # cache the (small, eval-bounded) hit set: it feeds BOTH the
+    # boilerplate count and the anti-join — without the cache the whole
+    # train-side explode+join recomputes for each
+    hits = (
+        train_tok.join(eval_keys, "k").select(id_col, "k").distinct().cache()
+    )
     boilerplate = (
         hits.groupBy("k")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -244,8 +249,14 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str | None = None,
+    max_gram_docs: int | None = None,
 ) -> DataFrame:
     """Drop training documents that share any word n-gram with the eval
-    set — benchmark-leakage removal as one anti-join."""
-    bad = contaminated_ids(train, eval_df, n, id_col, text_col, eval_text_col)
+    set — benchmark-leakage removal as one anti-join. On template-heavy
+    corpora ALWAYS set ``max_gram_docs`` (see :func:`contaminated_ids`):
+    the raw rule can flag essentially the whole corpus through shared
+    boilerplate grams, and this anti-join would then delete it."""
+    bad = contaminated_ids(
+        train, eval_df, n, id_col, text_col, eval_text_col, max_gram_docs
+    )
     return train.join(bad, id_col, "left_anti")

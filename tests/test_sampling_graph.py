@@ -134,3 +134,12 @@ def test_pagerank_dangling_mass_redistributed(spark):
     d = {r["node"]: r["rank"] for r in pagerank(edges, iterations=30).collect()}
     assert abs(sum(d.values()) - 1.0) < 1e-6
     assert d["b"] > d["a"] == d["c"]
+    # the fixed-point integer blend must take the SAME dangling path:
+    # dang > 0 exercises the (dang div n) term inside the expr
+    fp = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(edges, iterations=30, fixed_point=True).collect()
+    }
+    assert abs(sum(fp.values()) / 1e9 - 1.0) < 1e-4  # floor losses only
+    for k in d:
+        assert abs(fp[k] / 1e9 - d[k]) < 1e-4, (k, fp[k], d[k])
