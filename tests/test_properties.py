@@ -133,3 +133,87 @@ def test_fuzzy_threshold_monotonicity(spark):
         for r in fuzzy_link_surfaces(unresolved, vdf, threshold=0.97).collect()
     }
     assert high <= low
+
+
+WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(WORD, min_size=0, max_size=40),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_properties(spark, words, max_tokens, overlap):
+    """For any word list and any valid (max_tokens, overlap):
+    - every chunk has 1..max_tokens tokens (when the doc is non-empty);
+    - consecutive chunks start exactly `stride` tokens apart;
+    - the concatenation of chunks at stride offsets covers every token
+      in order (no token lost, none invented)."""
+    from llm_information_extraction_spark.operators.textprep import (
+        chunk_documents,
+    )
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    df = spark.createDataFrame([("d", " ".join(words))], "doc_id string, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens, overlap).collect()
+    )
+    assert rows, "at least one chunk always"
+    for idx, text, n in rows:
+        toks = text.split() if text else []
+        assert n == len(toks) and n <= max_tokens
+        start = idx * stride
+        assert toks == words[start : start + max_tokens]
+    if words:
+        # full coverage: the union of chunk token positions is 0..len-1
+        covered = set()
+        for idx, text, n in rows:
+            covered.update(range(idx * stride, idx * stride + n))
+        assert covered == set(range(len(words)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(WORD, st.integers(1, 60)), min_size=1, max_size=25),
+    st.integers(min_value=8, max_value=128),
+)
+def test_pack_sequences_bin_capacity_property(spark, docs, ctx):
+    """Within every (group, bin): the cumulative tokens BEFORE each doc
+    stay under (bin_id+1)*ctx and at/above bin_id*ctx — the defining
+    property of contiguous cumulative packing."""
+    from llm_information_extraction_spark.operators.textprep import (
+        pack_sequences,
+    )
+
+    rows = [
+        (f"{w}{i}", " ".join(["tok"] * n)) for i, (w, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = pack_sequences(df, context_tokens=ctx, num_groups=4).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for g, members in by_group.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            assert r["bin_id"] == cum // ctx
+            cum += r["n_tokens"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(WORD, min_size=13, max_size=40))
+def test_decontamination_self_containment_property(spark, words):
+    """Any document always shares all its 13-grams with itself: a train
+    set decontaminated against itself flags every (≥1-gram) doc."""
+    from llm_information_extraction_spark.operators.textprep import (
+        contaminated_ids,
+    )
+
+    df = spark.createDataFrame([("d0", " ".join(words))], "doc_id string, text string")
+    bad = {r["doc_id"] for r in contaminated_ids(df, df).collect()}
+    assert bad == {"d0"}
