@@ -2,6 +2,7 @@ from .incremental import (  # noqa: F401
     compact_signature_store,
     incremental_fuzzy_unique_documents,
     incremental_triples,
+    incremental_unique_embeddings,
     incremental_unique_documents,
 )
 from .stateful import (  # noqa: F401

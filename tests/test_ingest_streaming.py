@@ -234,3 +234,55 @@ def test_streaming_fuzzy_dedup_catches_near_dup_batches_later(spark, tmp_path):
     run()
     ids3 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert ids3 == ids | {"d1"}  # exact copy d0 still caught post-compact
+
+
+def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
+    """An embedding near-copy (cosine > 0.95) arriving two batches after
+    the original is suppressed by the vector store with EXACT cosine
+    verification; distinct vectors always land."""
+    import numpy as np
+
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_unique_embeddings,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=dim)
+    near = base + rng.normal(scale=0.01, size=dim)  # cosine ~0.9999
+    cos = float(base @ near / (np.linalg.norm(base) * np.linalg.norm(near)))
+    assert cos > 0.99
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        import time
+
+        q = incremental_unique_embeddings(
+            spark, in_dir, out_dir, ckpt, state, dim=dim, threshold=0.95
+        )
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+
+    write([(1, base), (2, rng.normal(size=dim))])
+    run()
+    write([(3, rng.normal(size=dim))])
+    run()
+    write([(4, near), (5, rng.normal(size=dim))])  # 4 = near-dup of 1
+    run()
+
+    ids = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ids == {1, 2, 3, 5}  # 4 suppressed two batches later
