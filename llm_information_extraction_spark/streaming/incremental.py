@@ -318,9 +318,12 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     if len(parts) <= 1:
         return int(parts[0].rsplit("=", 1)[1]) if parts else -1
     max_id = max(int(p.rsplit("=", 1)[1]) for p in parts)
+    # schema-agnostic: works for the MinHash store (id, sig) and the
+    # embedding store (id, v) alike — everything but the partition
+    # column survives, one row per id
     merged = (
         spark.read.parquet(state_dir)
-        .select("id", "sig")
+        .drop("batch_id")
         .dropDuplicates(["id"])
     )
     staging = f"{state_dir}/_compacting"
@@ -363,7 +366,11 @@ def incremental_unique_embeddings(
     higher recall, every candidate is exactly verified so precision is
     1.0 regardless. Replay-idempotence follows the same recipe as the
     MinHash variant: per-batch_id overwrites, store reads restricted to
-    strictly-older batches.
+    strictly-older batches; :func:`compact_signature_store` bounds the
+    partition count (schema-agnostic). As there, recomputing the store's
+    buckets per batch is the local-mode simplification — at 100 TB the
+    store is bucket-partitioned so step 3 prunes partitions instead of
+    scanning every stored vector.
     """
     from pyspark.sql import functions as F
 
