@@ -54,13 +54,7 @@ def incremental_triples(
             f"{output_dir}/batch_id={batch_id}"
         )
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach(stream, process_batch, checkpoint_dir, available_now)
 
 
 def incremental_unique_documents(
@@ -116,6 +110,42 @@ def _sig_est_jaccard(a, b, num_hashes: int):
         lambda acc, v: acc + v,
     )
     return matches.cast("double") / num_hashes
+
+
+def _read_store_older_than(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Read a batch_id-partitioned state store restricted to STRICTLY
+    older batches (a replayed batch must never see its own rows), or
+    None when the store doesn't exist yet (first batch).
+
+    Only the path-missing case means "no store yet"; any other read
+    failure (corrupt footer, permissions, botched compaction) must FAIL
+    the batch so the checkpoint retries — swallowing it would silently
+    disable cross-batch dedup. Shared by every streaming dedup variant
+    so the error-class match lives in exactly one place.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        return spark.read.parquet(state_dir).filter(
+            F.col("batch_id") < F.lit(batch_id)
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
+def _start_foreach(stream, process_batch, checkpoint_dir: str, available_now: bool):
+    """Common foreachBatch writer tail for the streaming dedup ops."""
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def incremental_fuzzy_unique_documents(
@@ -221,20 +251,7 @@ def incremental_fuzzy_unique_documents(
         )
 
         # -- cross-batch: store buckets (strictly older batches) ------------
-        # only the path-missing case means "first batch, no store yet";
-        # any other read failure (corrupt footer, permissions, botched
-        # compaction) must FAIL the batch so the checkpoint retries —
-        # swallowing it would silently disable cross-batch dedup
-        from pyspark.errors import AnalysisException
-
-        try:
-            store = spark.read.parquet(state_dir).filter(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            store = None
+        store = _read_store_older_than(spark, state_dir, batch_id)
         if store is not None and not store.isEmpty():
             old_sig = store.select("id", "sig")
             old_buckets = _banded_buckets(old_sig, num_hashes, bands)
@@ -279,13 +296,7 @@ def incremental_fuzzy_unique_documents(
         sig.unpersist()
         survivors.unpersist()
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach(stream, process_batch, checkpoint_dir, available_now)
 
 
 def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
@@ -367,7 +378,11 @@ def incremental_unique_embeddings(
     1.0 regardless. Replay-idempotence follows the same recipe as the
     MinHash variant: per-batch_id overwrites, store reads restricted to
     strictly-older batches; :func:`compact_signature_store` bounds the
-    partition count (schema-agnostic). As there, recomputing the store's
+    partition count (schema-agnostic). Within-batch cluster
+    representatives keep the LEXICOGRAPHICALLY smallest id (ids are
+    handled as strings, like every dedup operator here) — zero-pad
+    numeric ids upstream if numeric-min semantics matter; the output id
+    column is string for the same reason. As there, recomputing the store's
     buckets per batch is the local-mode simplification — at 100 TB the
     store is bucket-partitioned so step 3 prunes partitions instead of
     scanning every stored vector.
@@ -400,6 +415,15 @@ def incremental_unique_embeddings(
             F.col(batch_df.columns[0]).cast("string").alias("id"),
             F.col(batch_df.columns[1]).cast("array<double>").alias("v"),
         ).cache()
+        # fail FAST on a dim mismatch: zip_with would pad with nulls,
+        # every plane dot would be NULL, every vector would land in
+        # bucket 0 of every table, and the candidate self-join would
+        # silently go quadratic
+        n_bad = vecs.filter(F.size("v") != dim).count()
+        if n_bad:
+            raise ValueError(
+                f"batch {batch_id}: {n_bad} vectors whose length != dim={dim}"
+            )
         bk = tagged_buckets(vecs)
 
         # within-batch: bucket candidates → exact cosine → CC → keep min
@@ -426,16 +450,7 @@ def incremental_unique_embeddings(
         survivors = vecs.join(losers, "id", "left_anti")
 
         # cross-batch: strictly-older stored vectors only (replay-safe)
-        from pyspark.errors import AnalysisException
-
-        try:
-            store = spark.read.parquet(state_dir).filter(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            store = None
+        store = _read_store_older_than(spark, state_dir, batch_id)
         if store is not None and not store.isEmpty():
             old = store.select("id", "v")
             hits = (
@@ -471,10 +486,4 @@ def incremental_unique_embeddings(
         vecs.unpersist()
         survivors.unpersist()
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach(stream, process_batch, checkpoint_dir, available_now)

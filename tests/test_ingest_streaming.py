@@ -286,3 +286,32 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
 
     ids = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
     assert ids == {1, 2, 3, 5}  # 4 suppressed two batches later
+
+    # replay the last micro-batch (crash before checkpoint commit):
+    # identical output, no duplicates
+    import os
+
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    ids2 = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ids2 == ids and spark.read.parquet(out_dir).count() == 4
+
+    # compact the (id, v) store; a later exact copy is still caught
+    import glob
+
+    from llm_information_extraction_spark.streaming.incremental import (
+        compact_signature_store,
+    )
+
+    compact_signature_store(spark, state)
+    assert len(glob.glob(f"{state}/batch_id=*")) == 1
+    write([(6, base), (7, rng.normal(size=dim))])
+    run()
+    ids3 = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ids3 == ids | {7}  # 6 caught against the compacted store
