@@ -336,12 +336,16 @@ def minhash_signatures(
 
 
 def _banded_buckets(
-    sig: DataFrame, num_hashes: int, bands: int
+    sig: DataFrame, num_hashes: int, bands: int, keep: tuple[str, ...] = ("id",)
 ) -> DataFrame:
-    """(id, band, bucket) — one bucket key per signature band."""
+    """(*keep, band, bucket) — one bucket key per signature band.
+
+    ``keep`` lists the pass-through columns (default just ``id``; the
+    streaming signature store also keeps ``sig`` so stored bucket rows
+    carry their signature for in-join verification)."""
     rows_per_band = num_hashes // bands
     return sig.select(
-        "id",
+        *keep,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -359,7 +363,9 @@ def _banded_buckets(
                 ),
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        *keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def minhash_candidate_pairs(

@@ -108,10 +108,13 @@ def rp_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) where bucket = sign pattern across ``num_planes``
-    random hyperplanes. Vectors in the same bucket are cosine-close with
-    high probability; bucket key is a bigint (≤ 63 planes)."""
+    """(id, *keep, bucket) where bucket = sign pattern across
+    ``num_planes`` random hyperplanes. Vectors in the same bucket are
+    cosine-close with high probability; bucket key is a bigint (≤ 63
+    planes). ``keep`` passes extra columns through (the streaming vector
+    store keeps the vector itself next to its bucket)."""
     v = _as_double_array(vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
@@ -124,7 +127,9 @@ def rp_lsh_buckets(
         bucket = bucket.bitwiseOR(
             F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col).alias("id"), *keep, bucket.alias("bucket")
+    )
 
 
 def ivf_index(

@@ -112,12 +112,35 @@ def _sig_est_jaccard(a, b, num_hashes: int):
     return matches.cast("double") / num_hashes
 
 
-def _read_store_older_than(
-    spark: SparkSession, state_dir: str, batch_id: int
+def _store_pt(group_col, bucket_col, partitions: int):
+    """Partition key of a bucket row: ``group * P + pmod(bucket, P)``.
+
+    ``group`` is the blocking-table index (MinHash band / RP-LSH table),
+    ``bucket`` the (possibly negative) hash bucket. Encoding the group in
+    the key means a join on (pt, bucket) is exactly a join on
+    (group, bucket) — pt // P recovers the group — while the pmod fans
+    each group across ``partitions`` directories so one hot band never
+    concentrates the store in a single partition."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.col(group_col).cast("long") * partitions
+        + F.pmod(F.col(bucket_col), F.lit(partitions))
+    ).alias("pt")
+
+
+def _read_store_pruned(
+    spark: SparkSession, state_dir: str, batch_id: int, pts: list[int]
 ) -> DataFrame | None:
-    """Read a batch_id-partitioned state store restricted to STRICTLY
-    older batches (a replayed batch must never see its own rows), or
-    None when the store doesn't exist yet (first batch).
+    """Read a (pt, batch_id)-partitioned state store restricted to
+    STRICTLY older batches (a replayed batch must never see its own
+    rows) AND to the ``pt`` partitions the incoming batch actually hits.
+
+    Both predicates are literal partition filters, so the scan opens
+    only matched directories (check ``PartitionFilters`` in the plan) —
+    per-batch store I/O scales with the batch's bucket spread, not with
+    total stream history. Returns None when the store doesn't exist yet
+    (first batch) or the batch hits no buckets.
 
     Only the path-missing case means "no store yet"; any other read
     failure (corrupt footer, permissions, botched compaction) must FAIL
@@ -128,14 +151,36 @@ def _read_store_older_than(
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
+    if not pts:
+        return None
     try:
-        return spark.read.parquet(state_dir).filter(
-            F.col("batch_id") < F.lit(batch_id)
+        return (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .filter(F.col("pt").isin([int(p) for p in pts]))
         )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         return None
+
+
+def _write_store(rows: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Commit a batch's bucket rows to the (pt, batch_id)-partitioned
+    store. Dynamic partition overwrite replaces exactly the (pt, N)
+    directories this batch produces — a REPLAYED batch recomputes the
+    same rows (inputs and store reads are deterministic) and overwrites
+    its own partitions, never touching other batches: the same
+    exactly-once foreachBatch recipe as the per-batch output dirs."""
+    from pyspark.sql import functions as F
+
+    (
+        rows.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pt", "batch_id")
+        .parquet(state_dir)
+    )
 
 
 def _start_foreach(stream, process_batch, checkpoint_dir: str, available_now: bool):
@@ -159,6 +204,7 @@ def incremental_fuzzy_unique_documents(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    store_partitions: int = 4,
     available_now: bool = True,
 ):
     """Streaming CROSS-BATCH near-duplicate (MinHash) dedup.
@@ -166,29 +212,41 @@ def incremental_fuzzy_unique_documents(
     Exact streaming dedup (:func:`incremental_unique_documents`) only
     catches byte-identical content; this operator suppresses a NEAR-dup
     arriving any number of micro-batches later. State is a compact
-    on-disk signature store — (id, sig array<bigint>) parquet partitioned
-    by batch_id: 64 longs per surviving doc, never text. Per micro-batch:
+    on-disk signature store — precomputed bucket rows
+    (bucket, id, sig array<bigint>) parquet partitioned by
+    (pt, batch_id) where pt = band·P + pmod(bucket, P) with
+    P = ``store_partitions``: 64 longs per band per surviving doc, never
+    text. Per micro-batch:
 
     1. sign incoming docs with the batch MinHash operators;
     2. within-batch: banded-bucket candidates → signature-estimated
        Jaccard ≥ threshold edges → connected components → keep min id;
-    3. cross-batch: incoming buckets equi-join the store's buckets
-       restricted to ``batch_id < current`` — a REPLAYED batch never
-       sees its own signatures — estimate ≥ threshold drops the newcomer;
-    4. survivors overwrite ``output/batch_id=N``; their signatures
-       overwrite ``state/batch_id=N``. Both replay-idempotent (the
-       standard exactly-once foreachBatch recipe).
+    3. cross-batch: the batch's bucket rows equi-join the store on
+       (pt, bucket) ≡ (band, bucket). The store read carries two LITERAL
+       partition filters — ``batch_id < current`` (a REPLAYED batch never
+       sees its own signatures) and ``pt IN (batch's partitions)`` — so
+       it opens only the ≤ bands·P directories this batch can possibly
+       collide with, NOT the whole history: per-batch store I/O is
+       bounded by the batch's bucket spread at any stream age. Estimated
+       Jaccard ≥ threshold (verified in-join from the stored signature)
+       drops the newcomer;
+    4. survivors overwrite ``output/batch_id=N``; their bucket rows
+       dynamically overwrite the store's (pt, N) partitions. Both
+       replay-idempotent (the standard exactly-once foreachBatch recipe).
 
     Similarity is the SIGNATURE estimate (matching-slot fraction): the
     store deliberately holds no text to re-verify against. Callers
     needing exact-Jaccard confirmation keep a doc store and run
     ``minhash_verified_pairs`` offline.
 
-    At 100 TB the store is bucket-partitioned so step 3 prunes partitions
-    instead of scanning all signatures; recomputing store buckets per
-    batch is the local-mode simplification. Run
-    :func:`compact_signature_store` periodically (between stream runs) to
-    bound the partition count.
+    Storing buckets costs ``bands`` rows per doc (the signature is
+    duplicated per band); that is the deliberate trade for pruned reads —
+    at 100 TB the store is still ≪ the corpus (64 longs × bands ≈ 8 KB
+    per surviving doc) while the per-batch scan stays O(batch). Raise
+    ``store_partitions`` on large clusters so single partitions stay
+    below executor-memory scale. Run :func:`compact_signature_store`
+    periodically (between stream runs) to bound the directory count,
+    which grows with batches, not rows.
     """
     from pyspark.sql import functions as F
 
@@ -250,102 +308,152 @@ def incremental_fuzzy_unique_documents(
             in_batch_losers.withColumnsRenamed({"doc_id": "id"}), "id", "left_anti"
         )
 
-        # -- cross-batch: store buckets (strictly older batches) ------------
-        store = _read_store_older_than(spark, state_dir, batch_id)
-        if store is not None and not store.isEmpty():
-            old_sig = store.select("id", "sig")
-            old_buckets = _banded_buckets(old_sig, num_hashes, bands)
-            new_buckets = _banded_buckets(survivors, num_hashes, bands)
-            hits = (
-                new_buckets.alias("nw")
-                .join(
-                    old_buckets.alias("od"),
-                    (F.col("nw.band") == F.col("od.band"))
-                    & (F.col("nw.bucket") == F.col("od.bucket")),
-                )
-                .select(
-                    F.col("nw.id").alias("new_id"),
-                    F.col("od.id").alias("old_id"),
-                )
-                .distinct()
-                .join(
-                    survivors.withColumnsRenamed({"id": "new_id", "sig": "sig_n"}),
-                    "new_id",
-                )
-                .join(
-                    old_sig.withColumnsRenamed({"id": "old_id", "sig": "sig_o"}),
-                    "old_id",
-                )
-                .filter(
-                    _sig_est_jaccard(F.col("sig_n"), F.col("sig_o"), num_hashes)
-                    >= threshold
-                )
-                .select(F.col("new_id").alias("id"))
-                .distinct()
+        # -- cross-batch: pruned read of the bucket-partitioned store -------
+        # bucket rows with the signature attached (zero shuffle: pure
+        # explode over the cached survivor signatures)
+        def bucket_rows(s: DataFrame) -> DataFrame:
+            b = _banded_buckets(s, num_hashes, bands, keep=("id", "sig"))
+            return b.select(
+                _store_pt("band", "bucket", store_partitions),
+                "bucket",
+                "id",
+                "sig",
             )
-            survivors = survivors.join(hits, "id", "left_anti")
 
         survivors = survivors.cache()
+        new_rows = bucket_rows(survivors)
+        pts = [r["pt"] for r in new_rows.select("pt").distinct().collect()]
+        store = _read_store_pruned(spark, state_dir, batch_id, pts)
+        if store is not None:
+            # verification happens IN the join projection from the stored
+            # signature — no join back to a signature table, so a pair
+            # colliding in b bands is estimated b times (64 int compares)
+            # instead of shuffled once: compute for shuffle, the right
+            # trade at every scale
+            hits = (
+                new_rows.alias("nw")
+                .join(
+                    store.alias("od"),
+                    (F.col("nw.pt") == F.col("od.pt"))
+                    & (F.col("nw.bucket") == F.col("od.bucket")),
+                )
+                .filter(
+                    _sig_est_jaccard(
+                        F.col("nw.sig"), F.col("od.sig"), num_hashes
+                    )
+                    >= threshold
+                )
+                .select(F.col("nw.id").alias("id"))
+                .distinct()
+            )
+            final = survivors.join(hits, "id", "left_anti").cache()
+        else:
+            final = survivors
+
         # overwrite-per-batch-directory = replay-idempotent commit
         docs.join(
-            survivors.select(F.col("id").alias("doc_id")), "doc_id", "leftsemi"
+            final.select(F.col("id").alias("doc_id")), "doc_id", "leftsemi"
         ).write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
-        survivors.write.mode("overwrite").parquet(
-            f"{state_dir}/batch_id={batch_id}"
-        )
+        _write_store(bucket_rows(final), state_dir, batch_id)
         sig.unpersist()
         survivors.unpersist()
+        if final is not survivors:
+            final.unpersist()
 
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)
 
 
 def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
-    """Merge all ``batch_id=K`` partitions of a signature store into the
-    single highest partition; returns the surviving batch_id.
+    """Merge every batch's partitions of a dedup state store into the
+    single highest ``batch_id``; returns the surviving batch_id.
 
-    Safe ONLY between stream runs (no concurrent writer): every id keeps
-    a row, and future batches N > max read ``batch_id < N`` which still
-    matches everything — replay of any batch ≤ max cannot occur because
-    those batches are already committed in the stream checkpoint.
+    Handles both store layouts: the bucket-partitioned layout the
+    streaming dedup operators write (``pt=K/batch_id=N``, compacted to
+    ``pt=K/batch_id=<max>`` per pt — partition pruning keeps working on
+    the compacted store) and a flat ``batch_id=N`` layout. All file
+    operations go through the Hadoop FileSystem API resolved from
+    ``state_dir`` itself, so the same code compacts a local directory, an
+    ``hdfs://`` path, or an object store — no local-filesystem
+    assumption.
+
+    Safe ONLY between stream runs (no concurrent writer): every row
+    keeps a copy, and future batches N > max read ``batch_id < N`` which
+    still matches everything — replay of any batch ≤ max cannot occur
+    because those batches are already committed in the stream checkpoint.
 
     Crash-safe ordering — duplicates are harmless to the dedup semantics
     (candidate hits are set-joined), loss is not, so the merged rows are
     ADDED to the surviving partition before anything is deleted:
 
-    1. write the deduped merge to a sibling staging dir (the leading
-       underscore keeps it out of Spark partition discovery);
-    2. move its part-files INTO ``batch_id=<max>`` (crash mid-move →
-       duplicate rows at worst, every id still present somewhere);
+    1. write the full-row-distinct merge to a sibling staging dir (the
+       leading underscore keeps it out of Spark partition discovery);
+    2. move its part-files INTO the ``batch_id=<max>`` dirs (crash
+       mid-move → duplicate rows at worst, every row still present
+       somewhere);
     3. delete the older partitions and the staging dir (crash mid-delete
        → leftover duplicates, again harmless; re-running compaction
        cleans up).
     """
-    import glob
-    import os
-    import shutil
     import uuid
 
-    parts = sorted(glob.glob(f"{state_dir}/batch_id=*"))
-    if len(parts) <= 1:
-        return int(parts[0].rsplit("=", 1)[1]) if parts else -1
-    max_id = max(int(p.rsplit("=", 1)[1]) for p in parts)
-    # schema-agnostic: works for the MinHash store (id, sig) and the
-    # embedding store (id, v) alike — everything but the partition
-    # column survives, one row per id
-    merged = (
-        spark.read.parquet(state_dir)
-        .drop("batch_id")
-        .dropDuplicates(["id"])
-    )
-    staging = f"{state_dir}/_compacting"
-    merged.write.mode("overwrite").parquet(staging)
-    keep = f"{state_dir}/batch_id={max_id}"
-    for f in glob.glob(f"{staging}/part-*"):
-        shutil.move(f, os.path.join(keep, f"compact-{uuid.uuid4().hex}-{os.path.basename(f)}"))
-    for p in parts:
-        if p != keep:
-            shutil.rmtree(p)
-    shutil.rmtree(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return -1
+
+    def _glob(pattern: str):
+        found = fs.globStatus(hpath(pattern))
+        return list(found) if found is not None else []
+
+    def _batch_of(status) -> int:
+        return int(status.getPath().getName().split("=", 1)[1])
+
+    nested = _glob(f"{state_dir}/pt=*/batch_id=*")
+    parts = nested or _glob(f"{state_dir}/batch_id=*")
+    batch_ids = sorted({_batch_of(s) for s in parts})
+    if len(batch_ids) <= 1:
+        return batch_ids[0] if batch_ids else -1
+    max_id = batch_ids[-1]
+
+    # schema-agnostic: full-row distinct works for the MinHash store
+    # (pt, bucket, id, sig) and the embedding store (pt, bucket, id, v)
+    # alike — crash-leftover duplicates are byte-identical rows
+    merged = spark.read.parquet(state_dir).drop("batch_id").dropDuplicates()
+    staging = f"{state_dir.rstrip('/')}/_compacting"
+    writer = merged.write.mode("overwrite")
+    if nested:
+        writer = writer.partitionBy("pt")
+    writer.parquet(staging)
+
+    def _move_parts(src_dir, dest_dir) -> None:
+        fs.mkdirs(dest_dir)
+        for st in fs.listStatus(src_dir):
+            name = st.getPath().getName()
+            if name.startswith("part-"):
+                fs.rename(
+                    st.getPath(),
+                    hpath(dest_dir, f"compact-{uuid.uuid4().hex}-{name}"),
+                )
+
+    if nested:
+        for st in _glob(f"{staging}/pt=*"):
+            _move_parts(
+                st.getPath(),
+                hpath(
+                    f"{state_dir.rstrip('/')}/"
+                    f"{st.getPath().getName()}/batch_id={max_id}"
+                ),
+            )
+    else:
+        _move_parts(
+            hpath(staging), hpath(f"{state_dir.rstrip('/')}/batch_id={max_id}")
+        )
+    for st in parts:
+        if _batch_of(st) != max_id:
+            fs.delete(st.getPath(), True)
+    fs.delete(hpath(staging), True)
     return max_id
 
 
@@ -360,6 +468,7 @@ def incremental_unique_embeddings(
     num_planes: int = 12,
     num_tables: int = 4,
     seed: int = 42,
+    store_partitions: int = 4,
     schema: str = "vec_id bigint, embedding array<double>",
     available_now: bool = True,
 ):
@@ -367,25 +476,31 @@ def incremental_unique_embeddings(
     ``threshold``) — the third member of the streaming dedup trio
     (exact fingerprints / MinHash text / embeddings).
 
-    State is (id, v array<double>) parquet partitioned by batch_id — the
-    full vector is stored (a 64-dim embedding is ~0.5 KB, cheaper than a
-    re-embeddable document), so candidate verification is EXACT cosine,
-    unlike the MinHash store's signature estimate. Blocking is RP-LSH
-    sign buckets over ``num_tables`` independent hyperplane tables
-    (union of seeds): per-table recall at cosine 0.95 with 12 planes is
-    ~(1−θ/π)¹² ≈ 0.28, four tables ≈ 0.73; raise ``num_tables`` for
-    higher recall, every candidate is exactly verified so precision is
-    1.0 regardless. Replay-idempotence follows the same recipe as the
-    MinHash variant: per-batch_id overwrites, store reads restricted to
+    State is precomputed bucket rows (bucket, id, v array<double>)
+    parquet partitioned by (pt, batch_id) with
+    pt = table·P + pmod(bucket, P), P = ``store_partitions`` — the full
+    vector is stored per blocking table (a 64-dim embedding is ~0.5 KB,
+    cheaper than a re-embeddable document), so candidate verification is
+    EXACT cosine computed IN the bucket join, unlike the MinHash store's
+    signature estimate. Blocking is RP-LSH sign buckets over
+    ``num_tables`` independent hyperplane tables (union of seeds):
+    per-table recall at cosine 0.95 with 12 planes is ~(1−θ/π)¹² ≈ 0.28,
+    four tables ≈ 0.73; raise ``num_tables`` for higher recall, every
+    candidate is exactly verified so precision is 1.0 regardless.
+
+    The cross-batch store read carries literal partition filters —
+    ``batch_id < current`` (replay-safe) and ``pt IN (batch's
+    partitions)`` — so each micro-batch opens only the ≤ num_tables·P
+    store directories it can collide with, never the whole history:
+    per-batch store I/O stays O(batch) at any stream age.
+    Replay-idempotence follows the same recipe as the MinHash variant:
+    per-batch-partition dynamic overwrites, store reads restricted to
     strictly-older batches; :func:`compact_signature_store` bounds the
-    partition count (schema-agnostic). Within-batch cluster
+    directory count (schema-agnostic). Within-batch cluster
     representatives keep the LEXICOGRAPHICALLY smallest id (ids are
     handled as strings, like every dedup operator here) — zero-pad
     numeric ids upstream if numeric-min semantics matter; the output id
-    column is string for the same reason. As there, recomputing the store's
-    buckets per batch is the local-mode simplification — at 100 TB the
-    store is bucket-partitioned so step 3 prunes partitions instead of
-    scanning every stored vector.
+    column is string for the same reason.
     """
     from pyspark.sql import functions as F
 
@@ -409,6 +524,23 @@ def incremental_unique_embeddings(
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def bucket_rows(vecs: DataFrame) -> DataFrame:
+        # store-shaped rows: vector carried next to its bucket so the
+        # cross-batch join verifies cosine in-join; pure projections +
+        # union, zero shuffle
+        parts = [
+            rp_lsh_buckets(
+                vecs, dim, num_planes, "id", "v", seed + 1000 * t, keep=("v",)
+            ).select("id", "v", F.lit(t).alias("tbl"), "bucket")
+            for t in range(num_tables)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.select(
+            _store_pt("tbl", "bucket", store_partitions), "bucket", "id", "v"
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = batch_df.select(
@@ -449,41 +581,36 @@ def incremental_unique_embeddings(
         ).select(F.col("node").alias("id"))
         survivors = vecs.join(losers, "id", "left_anti")
 
-        # cross-batch: strictly-older stored vectors only (replay-safe)
-        store = _read_store_older_than(spark, state_dir, batch_id)
-        if store is not None and not store.isEmpty():
-            old = store.select("id", "v")
+        # cross-batch: pruned read of the bucket-partitioned store —
+        # strictly-older batches (replay-safe) AND only the pt
+        # partitions this batch's buckets hit
+        survivors = survivors.cache()
+        new_rows = bucket_rows(survivors)
+        pts = [r["pt"] for r in new_rows.select("pt").distinct().collect()]
+        store = _read_store_pruned(spark, state_dir, batch_id, pts)
+        if store is not None:
             hits = (
-                tagged_buckets(survivors).alias("nw")
+                new_rows.alias("nw")
                 .join(
-                    tagged_buckets(old).alias("od"),
-                    (F.col("nw.tbl") == F.col("od.tbl"))
+                    store.alias("od"),
+                    (F.col("nw.pt") == F.col("od.pt"))
                     & (F.col("nw.bucket") == F.col("od.bucket")),
                 )
-                .select(
-                    F.col("nw.id").alias("new_id"),
-                    F.col("od.id").alias("old_id"),
-                )
-                .distinct()
-                .join(
-                    survivors.withColumnsRenamed({"id": "new_id", "v": "v_n"}),
-                    "new_id",
-                )
-                .join(old.withColumnsRenamed({"id": "old_id", "v": "v_o"}), "old_id")
-                .filter(cosine_sim(F.col("v_n"), F.col("v_o")) >= threshold)
-                .select(F.col("new_id").alias("id"))
+                .filter(cosine_sim(F.col("nw.v"), F.col("od.v")) >= threshold)
+                .select(F.col("nw.id").alias("id"))
                 .distinct()
             )
-            survivors = survivors.join(hits, "id", "left_anti")
+            final = survivors.join(hits, "id", "left_anti").cache()
+        else:
+            final = survivors
 
-        survivors = survivors.cache()
-        survivors.write.mode("overwrite").parquet(
+        final.write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"
         )
-        survivors.write.mode("overwrite").parquet(
-            f"{state_dir}/batch_id={batch_id}"
-        )
+        _write_store(bucket_rows(final), state_dir, batch_id)
         vecs.unpersist()
         survivors.unpersist()
+        if final is not survivors:
+            final.unpersist()
 
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)

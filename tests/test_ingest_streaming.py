@@ -225,11 +225,13 @@ def test_streaming_fuzzy_dedup_catches_near_dup_batches_later(spark, tmp_path):
     assert ids2 == ids  # replay-idempotent: same rows, no dupes
     assert spark.read.parquet(out_dir).count() == 4
 
-    # -- compaction: one partition left, same answers afterwards ----------
+    # -- compaction: one batch left per pt, same answers afterwards -------
     compact_signature_store(spark, state)
     import glob
 
-    assert len(glob.glob(f"{state}/batch_id=*")) == 1
+    batch_dirs = glob.glob(f"{state}/pt=*/batch_id=*")
+    assert batch_dirs  # bucket-partitioned layout
+    assert len({d.rsplit("=", 1)[1] for d in batch_dirs}) == 1
     write([_span_doc("d0", base_text), _span_doc("d1", _salad(rng, 40))])
     run()
     ids3 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
@@ -310,8 +312,54 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
     )
 
     compact_signature_store(spark, state)
-    assert len(glob.glob(f"{state}/batch_id=*")) == 1
+    batch_dirs = glob.glob(f"{state}/pt=*/batch_id=*")
+    assert batch_dirs and len({d.rsplit("=", 1)[1] for d in batch_dirs}) == 1
     write([(6, base), (7, rng.normal(size=dim))])
     run()
     ids3 = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
     assert ids3 == ids | {7}  # 6 caught against the compacted store
+
+
+def test_streaming_store_read_prunes_partitions(spark, tmp_path):
+    """The cross-batch dedup store scan must read ONLY the (pt, batch)
+    partitions the incoming batch hits: both predicates are literal
+    partition filters in the scan plan, so per-batch store I/O is bounded
+    by the batch's bucket spread, not by stream history."""
+    from llm_information_extraction_spark.streaming.incremental import (
+        _read_store_pruned,
+        _write_store,
+    )
+
+    schema = "pt int, bucket long, id string, sig array<bigint>"
+    state = str(tmp_path / "state")
+    _write_store(
+        spark.createDataFrame(
+            [(0, 11, "a", [1, 2]), (1, 12, "b", [3, 4]), (2, 13, "c", [5, 6])],
+            schema,
+        ),
+        state,
+        0,
+    )
+    rows1 = spark.createDataFrame(
+        [(0, 11, "d", [1, 2]), (3, 14, "e", [7, 8])], schema
+    )
+    _write_store(rows1, state, 1)
+
+    # batch 1 store view: strictly-older rows (batch 0 only), pt ∈ {0, 2}
+    pruned = _read_store_pruned(spark, state, 1, [0, 2])
+    got = {(r["pt"], r["id"]) for r in pruned.collect()}
+    assert got == {(0, "a"), (2, "c")}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "pt" in pf and "batch_id" in pf  # pruned at the SCAN, not after
+
+    # empty probe set → no store read at all
+    assert _read_store_pruned(spark, state, 1, []) is None
+    # missing store → None (first batch)
+    assert _read_store_pruned(spark, str(tmp_path / "nope"), 1, [0]) is None
+
+    # replayed batch rewrites exactly its own (pt, batch) partitions:
+    # no duplicates, batch 0 untouched
+    _write_store(rows1, state, 1)
+    assert spark.read.parquet(state).count() == 5
+    assert _read_store_pruned(spark, state, 99, [0, 1, 2, 3]).count() == 5
