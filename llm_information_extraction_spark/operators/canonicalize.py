@@ -27,6 +27,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """Point the context's reliable-checkpoint directory at
+    ``checkpoint_dir`` unless it already is.
+
+    ``setCheckpointDir`` is CONTEXT-WIDE state: every job sharing the
+    SparkContext checkpoints under the new directory for the rest of its
+    lifetime. Callers (CC, PageRank) accept that — the docstrings say
+    so — but repeated calls with the same path must not keep re-pointing
+    it: Spark materializes a fresh UUID subdirectory per call, so the
+    check compares the requested path against the PARENT of the current
+    (qualified) checkpoint dir, scheme-insensitively.
+    """
+    cur = sc.getCheckpointDir()  # e.g. 'file:/x/y/<uuid>' or None
+    if cur is not None:
+        parent = cur.rstrip("/").rsplit("/", 1)[0]
+        want = checkpoint_dir.rstrip("/")
+        if parent.split(":", 1)[-1].lstrip("/") == want.split(":", 1)[-1].lstrip("/"):
+            return
+    sc.setCheckpointDir(checkpoint_dir)
+
+
 def _canonical_edges(edges: DataFrame) -> DataFrame:
     """Undirected, deduped, self-loop-free (src < dst) edge list."""
     e = edges.select(
@@ -71,9 +92,15 @@ def connected_components(
     ``localCheckpoint()`` — local checkpoint blocks die with their
     executor, so on a multi-hour CC run one lost executor would restart
     the whole loop. Local (the default) is right for single-node runs.
+    NOTE: setting it re-points the SparkContext's checkpoint directory,
+    which is CONTEXT-WIDE — other jobs on the shared context checkpoint
+    there afterwards (skipped when the context already points at the
+    requested path).
     """
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ensure_checkpoint_dir(
+            edges.sparkSession.sparkContext, checkpoint_dir
+        )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:

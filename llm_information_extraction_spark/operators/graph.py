@@ -61,15 +61,33 @@ def pagerank(
     damping: float = 0.85,
     fixed_point: bool = False,
     checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank by DataFrame power iteration — entity importance over
     the materialized KG (edges(src, dst), directed, duplicates ignored).
 
     Each iteration is ONE shuffle (contribution aggregation keyed by
     dst) plus a broadcast of the two scalar terms (dangling mass and
-    node count); lineage is truncated with ``localCheckpoint`` every
-    ``checkpoint_every`` iterations so tens of iterations don't grow the
-    plan. Dangling-node mass is redistributed uniformly.
+    node count); lineage is truncated every ``checkpoint_every``
+    iterations so tens of iterations don't grow the plan.
+    Dangling-node mass is redistributed uniformly.
+
+    ``checkpoint_dir``: when set (a cluster-visible path, e.g. HDFS/S3),
+    lineage truncation uses reliable ``checkpoint()`` instead of
+    ``localCheckpoint()`` — local checkpoint blocks die with their
+    executor, so on a multi-hour 100×-scale run one lost executor would
+    restart the loop from iteration 0. Same contract (and the same
+    context-wide ``setCheckpointDir`` note) as
+    ``canonicalize.connected_components``.
+
+    ``tol``: optional early stop — iteration ends when the L1 rank
+    change Σ|r_new − r_old| drops below ``tol`` (total mass is 1, so
+    tol is an absolute fraction). Costs one extra 1-row aggregate per
+    iteration and forces a per-iteration materialization, so leave it
+    None for short fixed-iteration runs (the driver contract pins
+    exactly 5 iterations); set it for open-ended convergence runs where
+    saved iterations dwarf the per-iteration delta job.
 
     ``fixed_point=True`` computes in integer nano-rank units (total mass
     10⁹) with floor division everywhere: per-node shares, contributions
@@ -80,18 +98,32 @@ def pagerank(
     iterations), and what makes distributed regression runs
     reproducible. The default double mode is the conventional
     formulation (values differ from fixed-point by < 1e-6 relative).
+    Damping is quantized to exact per-mille in this mode; a damping that
+    isn't a multiple of 0.001 warns (the <1e-6 double-mode agreement
+    doesn't hold for it).
 
     Returns (node, rank double) or (node, rank_nano long).
     """
+    from .canonicalize import _ensure_checkpoint_dir
+
+    if checkpoint_dir is not None:
+        _ensure_checkpoint_dir(
+            edges.sparkSession.sparkContext, checkpoint_dir
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
     ).dropDuplicates()
-    nodes = (
+    nodes = _ckpt(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -105,6 +137,15 @@ def pagerank(
     # dmill: damping in exact per-mille so the fixed-point blend is
     # integer; double mode uses the float damping directly
     dmill = int(round(damping * 1000))
+    if fixed_point and abs(dmill / 1000.0 - damping) > 1e-12:
+        import warnings
+
+        warnings.warn(
+            f"fixed_point mode quantizes damping to per-mille: requested "
+            f"{damping}, running at {dmill / 1000.0} — the documented "
+            f"<1e-6 agreement with double mode does not hold",
+            stacklevel=2,
+        )
 
     if fixed_point:
         total = 10**9
@@ -150,8 +191,29 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang") / n)
             )
+        prev = ranks
         ranks = joined.select("node", newr.alias("r"))
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        if (
+            tol is not None
+            or (it + 1) % checkpoint_every == 0
+            or it == iterations - 1
+        ):
+            ranks = _ckpt(ranks)
+        if tol is not None:
+            # one 1-row aggregate per iteration: L1 change of the rank
+            # vector (both sides are materialized, so no recompute)
+            delta = (
+                ranks.select("node", F.col("r").alias("r_new"))
+                .join(
+                    prev.select("node", F.col("r").alias("r_old")), "node"
+                )
+                .agg(
+                    F.sum(F.abs(F.col("r_new") - F.col("r_old"))).alias("d")
+                )
+                .first()["d"]
+            )
+            scale = 10**9 if fixed_point else 1.0
+            if delta is not None and float(delta) / scale < tol:
+                break
     out_name = "rank_nano" if fixed_point else "rank"
     return ranks.select("node", F.col("r").alias(out_name))

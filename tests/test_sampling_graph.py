@@ -143,3 +143,90 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert abs(sum(fp.values()) / 1e9 - 1.0) < 1e-4  # floor losses only
     for k in d:
         assert abs(fp[k] / 1e9 - d[k]) < 1e-4, (k, fp[k], d[k])
+
+
+def test_pagerank_reliable_checkpoint_same_result(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoint() (survives executor loss on a cluster); results are
+    bit-identical to localCheckpoint mode, and re-invoking with the same
+    dir must not re-point the context (no new UUID subdir)."""
+    from llm_information_extraction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    local = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(
+            edges, iterations=7, fixed_point=True, checkpoint_every=2
+        ).collect()
+    }
+    ckpt = str(tmp_path / "pr_ckpt")
+    reliable = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(
+            edges,
+            iterations=7,
+            fixed_point=True,
+            checkpoint_every=2,
+            checkpoint_dir=ckpt,
+        ).collect()
+    }
+    assert reliable == local
+    cur = spark.sparkContext.getCheckpointDir()
+    pagerank(
+        edges, iterations=2, fixed_point=True, checkpoint_dir=ckpt
+    ).collect()
+    # same requested dir → context NOT re-pointed (same UUID subdir)
+    assert spark.sparkContext.getCheckpointDir() == cur
+
+
+def test_pagerank_tol_early_stop(spark):
+    """tol= stops once the L1 rank change falls below it; the result
+    agrees with a long fixed-iteration run to within tol."""
+    from llm_information_extraction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    converged = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=60).collect()
+    }
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=60, tol=1e-7).collect()
+    }
+    for k in converged:
+        assert abs(early[k] - converged[k]) < 1e-5, k
+    # fixed-point mode takes the same early exit without error
+    fp = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(
+            edges, iterations=60, fixed_point=True, tol=1e-7
+        ).collect()
+    }
+    for k in converged:
+        assert abs(fp[k] / 1e9 - converged[k]) < 1e-5, k
+
+
+def test_pagerank_fixed_point_damping_quantization_warns(spark):
+    """fixed_point quantizes damping to per-mille; a non-representable
+    damping must warn (double mode must not)."""
+    import warnings
+
+    from llm_information_extraction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pagerank(edges, iterations=1, fixed_point=True, damping=0.8567)
+        assert any("per-mille" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pagerank(edges, iterations=1, fixed_point=True, damping=0.85)
+        pagerank(edges, iterations=1, damping=0.8567)
+        assert not any("per-mille" in str(x.message) for x in w)
