@@ -21,5 +21,6 @@ from .similarity import (  # noqa: F401
     ivf_index,
     ivf_topk,
     ivf_topk_from_path,
+    ivf_topk_join,
     ivf_write,
 )

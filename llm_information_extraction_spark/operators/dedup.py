@@ -428,19 +428,19 @@ def minhash_verified_pairs(
         df, id_col, text_col, n, num_hashes, bands, seed
     ).cache()
     # only candidate-involved docs need their shingles re-derived: the
-    # candidate id set is usually O(dup_rate·n) ≪ corpus, so it broadcasts
-    # and the token table is pre-pruned WITHOUT a shuffle (otherwise the
-    # second equi-join shuffles every doc's tokens). But on duplicate-HEAVY
-    # corpora — the very inputs dedup targets — the set is O(corpus), so
-    # the hint is gated on the (already-cached) pair count; above the gate
-    # AQE picks the strategy at runtime from actual sizes.
+    # candidate id set is usually O(dup_rate·n) ≪ corpus, so the semi
+    # join prunes the token table before the shingle shuffle. NO
+    # broadcast hint and NO driver-side size gate: AQE sees the actual
+    # candidate size at runtime and downgrades the semi join to
+    # broadcast when it fits (same strategy as
+    # minhash_dedup_groups_fast) — a count()-based gate would serialize
+    # a blocking job in front of the verify plan for information AQE
+    # already has.
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    if cands.count() * 2 <= 4_000_000:  # ≤ ~a few hundred MB of id strings
-        cand_ids = F.broadcast(cand_ids)
     tok = (
         df.select(
             F.col(id_col).alias("id"),

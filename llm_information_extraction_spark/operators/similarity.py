@@ -138,20 +138,38 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids + per-vector cell id.
 
     Returns (assignments(id, v, cell), centroids). The index DataFrame
     should be persisted/bucketed by ``cell`` at scale so probes prune
     partitions. Deterministic via seed.
+
+    ``fit_fraction``: fit the k-means quantizer on a DETERMINISTIC
+    content-hash sample of the corpus (``sampling.hash_uniform`` — the
+    same rows regardless of partitioning or cluster size) and assign the
+    FULL corpus in one transform pass. Standard IVF practice: the coarse
+    quantizer needs only O(n_centroids·10³) training vectors, so at
+    100 TB a full-corpus fit dominates index build time for no recall
+    gain — pick fit_fraction so the sample is a few-hundred-× the
+    centroid count. Correctness at n_probe == n_centroids is
+    fit-independent (every cell is scanned), which is what the driver
+    oracle pins.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     src = df.select(
         F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
     ).withColumn("features", array_to_vector("v"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(src)
+    if fit_fraction is not None:
+        from ..functions.sampling import hash_uniform
+
+        fit_src = src.filter(hash_uniform("id", "ivf_fit") < fit_fraction)
+    else:
+        fit_src = src
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fit_src)
     assigned = km.transform(src).select(
         "id", "v", F.col("prediction").alias("cell")
     )
@@ -214,6 +232,67 @@ def ivf_topk_from_path(
 ) -> DataFrame:
     """Probe a persisted IVF index (see :func:`ivf_write`)."""
     return ivf_topk(spark.read.parquet(path), centroids, query, k, n_probe)
+
+
+def ivf_topk_join(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k for a whole DataFrame of queries in ONE job —
+    the real IVF serving shape (a python loop of :func:`ivf_topk` calls
+    runs one job per query and rescans the index each time).
+
+    Probe-cell assignment happens in-plan: queries × centroids (both
+    broadcast-small) → per-query top-``n_probe`` cells by centroid
+    cosine, then ONE broadcast join of (query, cell, q_vec) against the
+    index fans each index row out to only the queries probing its cell.
+    The index is scanned exactly once for the whole batch; per-query
+    work stays bounded by its n_probe cells. Tie-breaks mirror
+    :func:`ivf_topk` (stable by cell idx / vector id), so per-query
+    results are identical to the one-at-a-time path.
+
+    Returns (query_id, id, cosine, rank ≤ k).
+    """
+    spark = index.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double_array(query_vec).alias("q_vec"),
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine_sim(F.col("q_vec"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = index.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "id",
+        cosine_sim(F.col("v"), F.col("q_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def embedding_near_dup_pairs_blocked(

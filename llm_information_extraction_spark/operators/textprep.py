@@ -53,17 +53,26 @@ def scrub_pii(
     ``text_col`` and count redactions per row.
 
     One whole-stage-codegen projection: the patterns chain as nested
-    regexp_replace calls; the count is derived from the marker tokens in
-    the scrubbed output (so it is consistent with the replacement by
-    construction, including overlapping-pattern interactions). Rows with
-    many redactions are candidates for dropping entirely — PII-dense
-    documents are usually scraped contact pages, not prose.
+    regexp_replace calls; the count is the marker-token count of the
+    scrubbed output MINUS the marker tokens already present in the
+    input (so it is consistent with the replacement by construction,
+    including overlapping-pattern interactions, and a document that
+    legitimately contains a literal ``<EMAIL>`` is not counted as a
+    redaction — no pattern can match a marker token, so pre-existing
+    markers pass through the chain unchanged and cancel exactly). Rows
+    with many redactions are candidates for dropping entirely —
+    PII-dense documents are usually scraped contact pages, not prose.
     """
-    scrubbed: Column = F.coalesce(F.col(text_col), F.lit(""))
+    raw: Column = F.coalesce(F.col(text_col), F.lit(""))
+    scrubbed: Column = raw
     for _, pattern, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pattern, repl)
-    markers = "<EMAIL>|<ID>|<IP>|<PHONE>"
-    n = F.size(F.regexp_extract_all(scrubbed, F.lit(markers), F.lit(0)))
+    markers = F.lit("<EMAIL>|<ID>|<IP>|<PHONE>")
+
+    def n_markers(c: Column) -> Column:
+        return F.size(F.regexp_extract_all(c, markers, F.lit(0)))
+
+    n = n_markers(scrubbed) - n_markers(raw)
     return df.withColumn(out_col, scrubbed).withColumn(
         count_col, n.cast("long")
     )

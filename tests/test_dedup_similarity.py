@@ -384,6 +384,63 @@ def test_ivf_topk_recall(spark):
     assert len(set(approx) & set(exact)) >= 5
 
 
+def test_ivf_sample_fit_full_probe_still_exact(spark):
+    """fit_fraction trains the quantizer on a deterministic hash sample;
+    exactness at n_probe == n_centroids is fit-independent (every cell
+    scanned), every vector still gets assigned, and the sample fit is
+    reproducible."""
+    from llm_information_extraction_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    index, centroids = ivf_index(emb, n_centroids=8, fit_fraction=0.5)
+    assert index.count() == n  # full corpus assigned
+    q = emb.orderBy("vec_id").first()
+    query = [float(x) for x in q["embedding"]]
+    exact = [r["id"] for r in cosine_topk(emb, query, k=10).collect()]
+    full = [
+        r["id"]
+        for r in ivf_topk(index, centroids, query, k=10, n_probe=8).collect()
+    ]
+    assert full == exact
+    # deterministic: same sample, same centroids on re-fit
+    _, centroids2 = ivf_index(emb, n_centroids=8, fit_fraction=0.5)
+    assert centroids2 == centroids
+
+
+def test_ivf_topk_join_matches_per_query_probes(spark):
+    """Batched serving: one broadcast-join job over the index must equal
+    the union of per-query ivf_topk results (same probes, same ranks)."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        ivf_topk_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index, centroids = ivf_index(emb, n_centroids=8)
+    qrows = emb.orderBy("vec_id").limit(40).collect()[::13]  # 4 queries
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "query_id bigint, embedding array<float>",
+    )
+    joined = ivf_topk_join(index, centroids, queries, k=5, n_probe=3)
+    got = {
+        (r["query_id"], r["rank"]): r["id"] for r in joined.collect()
+    }
+    for r in qrows:
+        single = ivf_topk(
+            index, centroids, [float(x) for x in r["embedding"]], k=5, n_probe=3
+        ).collect()
+        for rank, s in enumerate(single, start=1):
+            assert got[(r["vec_id"], rank)] == s["id"], (r["vec_id"], rank)
+    assert len(got) == len(qrows) * 5
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     """The serving path: a persisted cell-partitioned index turns the
     probe filter into parquet partition PRUNING — the scan's

@@ -31,6 +31,26 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got["d4"]["clean_text"] == "" and got["d4"]["n_redactions"] == 0
 
 
+def test_scrub_pii_literal_marker_not_counted(spark):
+    """Input that already contains a literal marker token is NOT counted
+    as a redaction (the count is scrubbed-markers minus input-markers);
+    real PII next to a literal marker still counts."""
+    rows = [
+        ("m1", "the template says <EMAIL> goes here"),
+        ("m2", "<PHONE> placeholder but real mail bob@ex.io too"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in scrub_pii(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()
+    }
+    assert got["m1"]["clean_text"] == rows[0][1]  # untouched
+    assert got["m1"]["n_redactions"] == 0
+    assert got["m2"]["clean_text"] == "<PHONE> placeholder but real mail <EMAIL> too"
+    assert got["m2"]["n_redactions"] == 1
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     words = [f"w{i}" for i in range(10)]
     df = spark.createDataFrame(
