@@ -160,14 +160,7 @@ print("RESULT " + json.dumps({{"cores": cores, "n_docs": {n_docs},
 """
 
 
-def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
-    """Measure throughput at N and 4N cores (+ a full-machine peak run).
-
-    N defaults to 2 so that 4N=8 stays within this VM's real parallel
-    capacity — beyond ~8-16 threads the vCPUs are SMT-shared and even a
-    pure-Python busy loop only reaches ~3x aggregate from 8→32 procs,
-    which would measure the hardware, not the pipeline.
-    """
+def _ensure_corpus(n_docs: int) -> str:
     path = f"/tmp/kgx_bench_docs_{n_docs}"
     if not Path(path, "_SUCCESS").exists():
         out = subprocess.run(
@@ -177,54 +170,54 @@ def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
         )
         if "GENERATED" not in out.stdout:
             raise RuntimeError(f"corpus generation failed:\n{out.stderr[-2000:]}")
-    lo, hi = n_cores, n_cores * scale_factor
-    results = {}
-    for cores in (lo, hi, CPUS):
-        code = _SCALE_SNIPPET.format(
-            repo=str(REPO), cores=cores, n_docs=n_docs, path=path
-        )
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
-        if not line:
-            raise RuntimeError(f"scaling run cores={cores} failed:\n{out.stderr[-2000:]}")
-        results[cores] = json.loads(line[-1][len("RESULT "):])
-    t_lo = results[lo]["triples_per_sec"]
-    t_hi = results[hi]["triples_per_sec"]
-    eff = (t_hi / t_lo) / scale_factor
-    summary = {
-        "n_docs": n_docs,
-        f"local{lo}": results[lo],
-        f"local{hi}": results[hi],
-        f"local{CPUS}": results[CPUS],
-        "speedup": round(t_hi / t_lo, 3),
-        "scaling_efficiency": round(eff, 3),
-    }
-    md = REPO / "BENCH" / "BASELINE.md"
-    md.parent.mkdir(exist_ok=True)
-    (REPO / "BENCH" / "scaling.json").write_text(json.dumps(summary, indent=2))
-    rows = "\n".join(
-        f"| {c} | {results[c]['wall_sec']} | {results[c]['triples']:,} | "
-        f"{results[c]['triples_per_sec']:,} |"
-        for c in sorted(results)
+    return path
+
+
+def _run_snippet(code: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600,
     )
-    md.write_text(
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    if not line:
+        raise RuntimeError(f"bench subprocess failed:\n{out.stderr[-2000:]}")
+    return json.loads(line[-1][len("RESULT "):])
+
+
+def _render_baseline_md() -> None:
+    """Compose BENCH/BASELINE.md from the recorded JSON artifacts
+    (scaling.json with optional slice_10m; textprep_scale.json) so a
+    re-run of one measurement never silently drops another's section."""
+    bench = REPO / "BENCH"
+    s = json.loads((bench / "scaling.json").read_text())
+    lo, hi = sorted(
+        int(k[len("local"):]) for k in s if k.startswith("local")
+    )[:2]
+    cores_keys = sorted(
+        (int(k[len("local"):]) for k in s if k.startswith("local"))
+    )
+    rows = "\n".join(
+        f"| {c} | {s[f'local{c}']['wall_sec']} | "
+        f"{s[f'local{c}']['triples']:,} | "
+        f"{s[f'local{c}']['triples_per_sec']:,} |"
+        for c in cores_keys
+    )
+    text = (
         "# BENCH baseline — KG pipeline throughput + scaling\n\n"
         "Two-parallelism-level evidence for the north rule's N vs 4N\n"
         "executor scaling criterion (no real cluster in this sandbox; the\n"
         "identical job + identical 128-partition parquet input runs at\n"
-        f"local[{lo}] and local[{lo * scale_factor}], warm, best-of-2; a\n"
-        f"local[{CPUS}] full-machine run records peak throughput).\n\n"
-        f"- synthetic corpus: {n_docs:,} interleaved documents "
+        f"local[{lo}] and local[{hi}], warm, best-of-2; a\n"
+        f"local[{cores_keys[-1]}] full-machine run records peak "
+        "throughput).\n\n"
+        f"- synthetic corpus: {s['n_docs']:,} interleaved documents "
         "(seed 42, Zipf skew 1.1, 1% oversized docs)\n"
         "- stage graph: parquet scan → payload exprs → gazetteer "
         "extraction (mapInPandas) → linking (broadcast joins) → dedup\n\n"
         "| cores | wall (s) | triples | triples/sec |\n|---|---|---|---|\n"
         + rows + "\n\n"
-        f"**speedup {lo}→{lo * scale_factor} cores: {summary['speedup']}× "
-        f"— scaling efficiency {summary['scaling_efficiency']} "
+        f"**speedup {lo}→{hi} cores: {s['speedup']}× "
+        f"— scaling efficiency {s['scaling_efficiency']} "
         "(target ≥ 0.8)**\n\n"
         f"Why N={lo}: beyond ~8-16 threads this VM's vCPUs are SMT-shared "
         "— a pure-Python busy-loop control experiment reaches only ~3.0x "
@@ -238,6 +231,156 @@ def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
         "per doc); this engine sustains tens of thousands of docs/sec "
         "on one machine.\n"
     )
+    if "slice_10m" in s:
+        sl = s["slice_10m"]
+        text += (
+            f"\n## Full-machine {sl['n_docs'] / 1e6:.0f}M-doc slice\n\n"
+            f"Same stage graph on a {sl['n_docs']:,}-doc corpus, "
+            f"local[{sl['cores']}], one warm-up then best-of-2: "
+            f"**{sl['triples']:,} triples in {sl['wall_sec']} s → "
+            f"{sl['triples_per_sec']:,.0f} triples/s**\n"
+            "(round 3: 1,488,998/s; round 2: 1,291,170/s; round 1: "
+            "1,209,014/s).\n"
+        )
+    tp_file = bench / "textprep_scale.json"
+    if tp_file.exists():
+        tp = json.loads(tp_file.read_text())
+        text += (
+            f"\n## Textprep operators at {tp['n_docs']:,} docs "
+            "(N vs 4N cores)\n\n"
+            "Same two-parallelism-level protocol on the training-data "
+            "prep operators\n(payloads from the same corpus; work forced "
+            "through output aggregates so\nCatalyst can't prune it). "
+            "Confirms the zero-/one-shuffle claims hold off\nthe 500-row "
+            "contract corpus: efficiency ≈ 1 for the pure projections\n"
+            "(scrub/chunk), and the single salt-group shuffle of "
+            "pack_sequences\nstill scales.\n\n"
+            "| operator | wall@2 (s) | wall@8 (s) | wall@32 (s) | "
+            "docs/s @8 | 2→8 efficiency |\n|---|---|---|---|---|---|\n"
+        )
+        for op in tp["ops"]:
+            r2, r8, r32 = (tp["per_cores"][c]["ops"][op] for c in ("2", "8", "32"))
+            eff = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4
+            text += (
+                f"| {op} | {r2['wall_sec']} | {r8['wall_sec']} | "
+                f"{r32['wall_sec']} | {r8['docs_per_sec']:,} | "
+                f"{eff:.3f} |\n"
+            )
+    (bench / "BASELINE.md").write_text(text)
+
+
+def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
+    """Measure throughput at N and 4N cores (+ a full-machine peak run).
+
+    N defaults to 2 so that 4N=8 stays within this VM's real parallel
+    capacity — beyond ~8-16 threads the vCPUs are SMT-shared and even a
+    pure-Python busy loop only reaches ~3x aggregate from 8→32 procs,
+    which would measure the hardware, not the pipeline.
+    """
+    path = _ensure_corpus(n_docs)
+    lo, hi = n_cores, n_cores * scale_factor
+    results = {}
+    for cores in (lo, hi, CPUS):
+        results[cores] = _run_snippet(_SCALE_SNIPPET.format(
+            repo=str(REPO), cores=cores, n_docs=n_docs, path=path
+        ))
+    t_lo = results[lo]["triples_per_sec"]
+    t_hi = results[hi]["triples_per_sec"]
+    eff = (t_hi / t_lo) / scale_factor
+    summary = {
+        "n_docs": n_docs,
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
+        f"local{CPUS}": results[CPUS],
+        "speedup": round(t_hi / t_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    scaling_file = REPO / "BENCH" / "scaling.json"
+    scaling_file.parent.mkdir(exist_ok=True)
+    if scaling_file.exists():
+        # keep sections other measurements own (e.g. the 10M slice)
+        prior = json.loads(scaling_file.read_text())
+        for k, v in prior.items():
+            summary.setdefault(k, v)
+    scaling_file.write_text(json.dumps(summary, indent=2))
+    _render_baseline_md()
+    return summary
+
+
+def run_slice(n_docs: int = 10_000_000) -> dict:
+    """Full-machine peak-throughput slice; records scaling.json['slice_10m']."""
+    path = _ensure_corpus(n_docs)
+    res = _run_snippet(_SCALE_SNIPPET.format(
+        repo=str(REPO), cores=CPUS, n_docs=n_docs, path=path
+    ))
+    scaling_file = REPO / "BENCH" / "scaling.json"
+    s = json.loads(scaling_file.read_text())
+    s["slice_10m"] = res
+    scaling_file.write_text(json.dumps(s, indent=2))
+    _render_baseline_md()
+    return res
+
+
+_TEXTPREP_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from llm_information_extraction_spark.session import get_spark
+from llm_information_extraction_spark.operators.payload import build_payload
+from llm_information_extraction_spark.operators.textprep import (
+    chunk_documents, pack_sequences, scrub_pii)
+cores = {cores}
+spark = get_spark(app_name=f"tpscale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+docs = build_payload(spark.read.parquet({path!r})).select(
+    "doc_id", F.col("payload").alias("text"))
+def force(df, cols):
+    # aggregate over the outputs so Catalyst cannot prune the actual work
+    return df.agg(*[F.sum(c).alias(f"s{{i}}") for i, c in enumerate(cols)]
+                  ).collect()[0]
+jobs = {{
+    "scrub_pii": lambda: force(
+        scrub_pii(docs).select(F.length("clean_text").alias("lc"),
+                               "n_redactions"),
+        ["lc", "n_redactions"]),
+    "chunk_documents": lambda: force(
+        chunk_documents(docs, 128, 16).select("n_tokens"), ["n_tokens"]),
+    "pack_sequences": lambda: force(
+        pack_sequences(docs, 4096).select("bin_id", "n_tokens"),
+        ["bin_id", "n_tokens"]),
+}}
+out = {{}}
+for name, job in jobs.items():
+    job()
+    best = 1e18
+    for _ in range(2):
+        t0 = time.time(); job(); best = min(best, time.time() - t0)
+    out[name] = {{"wall_sec": round(best, 2),
+                  "docs_per_sec": round({n_docs} / best, 1)}}
+print("RESULT " + json.dumps({{"cores": cores, "ops": out}}))
+"""
+
+
+def run_textprep_scaling(n_docs: int = 2_000_000) -> dict:
+    """N-vs-4N evidence for the textprep operators (scrub_pii /
+    chunk_documents / pack_sequences) on the scaling corpus; records
+    BENCH/textprep_scale.json and re-renders BENCH/BASELINE.md."""
+    path = _ensure_corpus(n_docs)
+    per_cores = {}
+    for cores in (2, 8, CPUS):
+        per_cores[str(cores)] = _run_snippet(_TEXTPREP_SNIPPET.format(
+            repo=str(REPO), cores=cores, n_docs=n_docs, path=path
+        ))
+    summary = {
+        "n_docs": n_docs,
+        "ops": list(per_cores[str(CPUS)]["ops"].keys()),
+        "per_cores": per_cores,
+    }
+    (REPO / "BENCH" / "textprep_scale.json").write_text(
+        json.dumps(summary, indent=2)
+    )
+    _render_baseline_md()
     return summary
 
 
@@ -245,5 +388,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         print(json.dumps(run_scaling(n)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--slice":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(run_slice(n)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--textprep-scale":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps(run_textprep_scaling(n)))
     else:
         print(json.dumps(run_headline()))
