@@ -70,6 +70,8 @@ HEADLINE = [
     "packed_sequences",
     "repetition_docs",
     "contaminated_train_docs",
+    # round-4 additions
+    "ivf_topk_join_emb",
 ]
 
 
