@@ -441,6 +441,36 @@ def test_ivf_topk_join_matches_per_query_probes(spark):
     assert len(got) == len(qrows) * 5
 
 
+def test_ivf_topk_join_dynamic_partition_pruning(spark, tmp_path):
+    """Batched serving against a PERSISTED cell-partitioned index:
+    Spark's dynamic partition pruning turns the broadcast probe join
+    into a runtime partition filter on the index scan (the 100-TB
+    serving shape needs no hand-written cell collect), and results match
+    the in-memory join exactly."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_join,
+        ivf_write,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index, centroids = ivf_index(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_join")
+    ivf_write(index, path)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    disk = ivf_topk_join(
+        spark.read.parquet(path), centroids, queries, k=5, n_probe=2
+    )
+    rows = {(r["query_id"], r["rank"]): r["id"] for r in disk.collect()}
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cell" in plan  # DPP on the index scan
+    mem = ivf_topk_join(index, centroids, queries, k=5, n_probe=2)
+    assert rows == {(r["query_id"], r["rank"]): r["id"] for r in mem.collect()}
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     """The serving path: a persisted cell-partitioned index turns the
     probe filter into parquet partition PRUNING — the scan's
