@@ -239,6 +239,11 @@ def incremental_fuzzy_unique_documents(
     needing exact-Jaccard confirmation keep a doc store and run
     ``minhash_verified_pairs`` offline.
 
+    ``doc_id`` must be globally unique across the STREAM's lifetime
+    (suppression is keyed by id): if a later batch reuses an id with
+    different content, a hit on either content suppresses every row
+    carrying that id.
+
     Storing buckets costs ``bands`` rows per doc (the signature is
     duplicated per band); that is the deliberate trade for pruned reads —
     at 100 TB the store is still ≪ the corpus (64 longs × bands ≈ 8 KB
@@ -350,8 +355,10 @@ def incremental_fuzzy_unique_documents(
         else:
             final = survivors
 
-        # overwrite-per-batch-directory = replay-idempotent commit
-        docs.join(
+        # overwrite-per-batch-directory = replay-idempotent commit; the
+        # sink preserves the INPUT row schema (doc_id, spans, ...) so the
+        # deduped stream feeds the batch KG pipeline directly
+        batch_df.join(
             final.select(F.col("id").alias("doc_id")), "doc_id", "leftsemi"
         ).write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
         _write_store(bucket_rows(final), state_dir, batch_id)

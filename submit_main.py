@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", default=None,
                    help="parquet dir of documents(doc_id, spans[]) to ingest "
                         "instead of the synthetic generator")
+    p.add_argument("--streaming-input", default=None,
+                   help="watch this parquet dir with Structured Streaming: "
+                        "cross-batch MinHash near-dup dedup runs as the "
+                        "ingest front-end (checkpoint/state under the "
+                        "warehouse, so re-submission processes only NEW "
+                        "files), then the batch KG pipeline consumes the "
+                        "accumulated deduped documents")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--mode", choices=["full_text", "abstract"],
                    default="full_text")
@@ -58,7 +65,26 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="kg-construct-submit")
     spark.sparkContext.setLogLevel("WARN")
-    documents = spark.read.parquet(args.input) if args.input else None
+    if args.streaming_input:
+        from llm_information_extraction_spark.streaming.incremental import (
+            incremental_fuzzy_unique_documents,
+        )
+
+        stream_dir = f"{args.warehouse.rstrip('/')}/stream"
+        q = incremental_fuzzy_unique_documents(
+            spark,
+            args.streaming_input,
+            f"{stream_dir}/unique",
+            f"{stream_dir}/ckpt",
+            f"{stream_dir}/state",
+            available_now=True,
+        )
+        q.awaitTermination()
+        documents = spark.read.parquet(f"{stream_dir}/unique").drop(
+            "batch_id"
+        )
+    else:
+        documents = spark.read.parquet(args.input) if args.input else None
     cfg = PipelineConfig(
         n_docs=args.n_docs, seed=args.seed, mode=args.mode, fuzzy=args.fuzzy,
         dedup=args.dedup,
