@@ -130,7 +130,11 @@ def _store_pt(group_col, bucket_col, partitions: int):
 
 
 def _read_store_pruned(
-    spark: SparkSession, state_dir: str, batch_id: int, pts: list[int]
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    pts: list[int],
+    total_pts: int | None = None,
 ) -> DataFrame | None:
     """Read a (pt, batch_id)-partitioned state store restricted to
     STRICTLY older batches (a replayed batch must never see its own
@@ -141,6 +145,12 @@ def _read_store_pruned(
     per-batch store I/O scales with the batch's bucket spread, not with
     total stream history. Returns None when the store doesn't exist yet
     (first batch) or the batch hits no buckets.
+
+    ``total_pts`` (the layout's pt-space size, bands·P or tables·P):
+    when the batch saturates the whole space the IN-list prunes nothing
+    and only bloats the plan (a large ``store_partitions`` puts tens of
+    thousands of literals in it), so it is skipped and the read relies
+    on the batch_id filter alone.
 
     Only the path-missing case means "no store yet"; any other read
     failure (corrupt footer, permissions, botched compaction) must FAIL
@@ -154,11 +164,12 @@ def _read_store_pruned(
     if not pts:
         return None
     try:
-        return (
-            spark.read.parquet(state_dir)
-            .filter(F.col("batch_id") < F.lit(batch_id))
-            .filter(F.col("pt").isin([int(p) for p in pts]))
+        store = spark.read.parquet(state_dir).filter(
+            F.col("batch_id") < F.lit(batch_id)
         )
+        if total_pts is None or len(pts) < total_pts:
+            store = store.filter(F.col("pt").isin([int(p) for p in pts]))
+        return store
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
@@ -267,6 +278,12 @@ def incremental_fuzzy_unique_documents(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import minhash_signature, word_shingles
 
+        # collapse same-id duplicate ROWS first: the candidate self-join
+        # pairs ids with id_a < id_b, so two byte-identical rows sharing
+        # an id could otherwise BOTH survive (ids are unique per the
+        # operator contract, so surviving rows are byte-identical and
+        # the pick is replay-deterministic)
+        batch_df = batch_df.dropDuplicates(["doc_id"])
         docs = build_payload(batch_df).select("doc_id", "payload")
         # row-local HOF signatures: identical values to the explode+agg
         # path (same hash family), ~3x faster on the short documents of
@@ -328,7 +345,9 @@ def incremental_fuzzy_unique_documents(
         survivors = survivors.cache()
         new_rows = bucket_rows(survivors)
         pts = [r["pt"] for r in new_rows.select("pt").distinct().collect()]
-        store = _read_store_pruned(spark, state_dir, batch_id, pts)
+        store = _read_store_pruned(
+            spark, state_dir, batch_id, pts, bands * store_partitions
+        )
         if store is not None:
             # verification happens IN the join projection from the stored
             # signature — no join back to a signature table, so a pair
@@ -550,10 +569,17 @@ def incremental_unique_embeddings(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        vecs = batch_df.select(
-            F.col(batch_df.columns[0]).cast("string").alias("id"),
-            F.col(batch_df.columns[1]).cast("array<double>").alias("v"),
-        ).cache()
+        vecs = (
+            batch_df.select(
+                F.col(batch_df.columns[0]).cast("string").alias("id"),
+                F.col(batch_df.columns[1]).cast("array<double>").alias("v"),
+            )
+            # same-id duplicate rows would both survive the id<id
+            # candidate join — collapse them (contract: ids unique, so
+            # duplicates are byte-identical and the pick deterministic)
+            .dropDuplicates(["id"])
+            .cache()
+        )
         # fail FAST on a dim mismatch: zip_with would pad with nulls,
         # every plane dot would be NULL, every vector would land in
         # bucket 0 of every table, and the candidate self-join would
@@ -594,7 +620,9 @@ def incremental_unique_embeddings(
         survivors = survivors.cache()
         new_rows = bucket_rows(survivors)
         pts = [r["pt"] for r in new_rows.select("pt").distinct().collect()]
-        store = _read_store_pruned(spark, state_dir, batch_id, pts)
+        store = _read_store_pruned(
+            spark, state_dir, batch_id, pts, num_tables * store_partitions
+        )
         if store is not None:
             hits = (
                 new_rows.alias("nw")

@@ -320,6 +320,42 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
     assert ids3 == ids | {7}  # 6 caught against the compacted store
 
 
+def test_streaming_fuzzy_dedup_collapses_same_batch_duplicate_rows(
+    spark, tmp_path
+):
+    """Byte-identical rows with the SAME doc_id landing in one
+    micro-batch must yield ONE output row (the id < id candidate join
+    cannot pair same-id rows, so this needs the explicit per-batch id
+    collapse)."""
+    import numpy as np
+
+    from llm_information_extraction_spark.sources.synthetic import (
+        DOCUMENTS_SCHEMA,
+    )
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_fuzzy_unique_documents,
+    )
+
+    rng = np.random.default_rng(3)
+    text = _salad(rng, 50)
+    rows = [_span_doc("x0", text), _span_doc("x0", text), _span_doc("x1", _salad(rng, 40))]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(
+        in_dir
+    )
+    q = incremental_fuzzy_unique_documents(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2  # one x0 row, one x1 row
+    assert {r["doc_id"] for r in out.collect()} == {"x0", "x1"}
+
+
 def test_streaming_store_read_prunes_partitions(spark, tmp_path):
     """The cross-batch dedup store scan must read ONLY the (pt, batch)
     partitions the incoming batch hits: both predicates are literal
