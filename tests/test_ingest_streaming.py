@@ -279,8 +279,11 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
                 break
             time.sleep(0.2)
 
-    write([(1, base), (2, rng.normal(size=dim))])
+    # (1, base) appears TWICE in the batch: same-id duplicate rows must
+    # collapse to one output row (the id<id candidate join can't pair them)
+    write([(1, base), (1, base), (2, rng.normal(size=dim))])
     run()
+    assert spark.read.parquet(out_dir).count() == 2
     write([(3, rng.normal(size=dim))])
     run()
     write([(4, near), (5, rng.normal(size=dim))])  # 4 = near-dup of 1
