@@ -441,6 +441,23 @@ def test_ivf_topk_join_matches_per_query_probes(spark):
     assert len(got) == len(qrows) * 5
 
 
+def test_ivf_topk_join_empty_queries(spark):
+    """Zero queries → zero rows, correct schema, no error."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index, centroids = ivf_index(emb, n_centroids=4)
+    empty = emb.limit(0).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = ivf_topk_join(index, centroids, empty, k=3, n_probe=2)
+    assert out.columns == ["query_id", "id", "cosine", "rank"]
+    assert out.count() == 0
+
+
 def test_ivf_topk_join_dynamic_partition_pruning(spark, tmp_path):
     """Batched serving against a PERSISTED cell-partitioned index:
     Spark's dynamic partition pruning turns the broadcast probe join

@@ -402,3 +402,36 @@ def test_streaming_store_read_prunes_partitions(spark, tmp_path):
     _write_store(rows1, state, 1)
     assert spark.read.parquet(state).count() == 5
     assert _read_store_pruned(spark, state, 99, [0, 1, 2, 3]).count() == 5
+
+    # saturated pt space: the IN-list is skipped (prunes nothing), the
+    # batch_id filter still applies
+    sat = _read_store_pruned(spark, state, 1, [0, 1, 2, 3], total_pts=4)
+    assert sat.count() == 3  # batch 0 only
+    plan = sat._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "batch_id" in pf and " IN " not in pf
+
+
+def test_compact_signature_store_edge_cases(spark, tmp_path):
+    """Missing store → -1; single-batch store → no-op returning that
+    batch; double compaction is idempotent."""
+    from llm_information_extraction_spark.streaming.incremental import (
+        _write_store,
+        compact_signature_store,
+    )
+
+    state = str(tmp_path / "state")
+    assert compact_signature_store(spark, state) == -1  # missing dir
+
+    schema = "pt int, bucket long, id string, sig array<bigint>"
+    _write_store(
+        spark.createDataFrame([(0, 1, "a", [1]), (1, 2, "b", [2])], schema),
+        state,
+        7,
+    )
+    assert compact_signature_store(spark, state) == 7  # single batch: no-op
+    _write_store(spark.createDataFrame([(0, 3, "c", [3])], schema), state, 9)
+    assert compact_signature_store(spark, state) == 9
+    assert compact_signature_store(spark, state) == 9  # idempotent
+    rows = {(r["pt"], r["id"]) for r in spark.read.parquet(state).collect()}
+    assert rows == {(0, "a"), (1, "b"), (0, "c")}
