@@ -247,6 +247,9 @@ def _render_baseline_md() -> None:
     tp_file = bench / "textprep_scale.json"
     if tp_file.exists():
         tp = json.loads(tp_file.read_text())
+        tp_cores = sorted(tp["per_cores"], key=int)
+        t_lo, t_hi = tp_cores[0], tp_cores[1]
+        factor = int(t_hi) / int(t_lo)
         text += (
             f"\n## Textprep operators at {tp['n_docs']:,} docs "
             "(N vs 4N cores)\n\n"
@@ -257,16 +260,21 @@ def _render_baseline_md() -> None:
             "contract corpus: efficiency ≈ 1 for the pure projections\n"
             "(scrub/chunk), and the single salt-group shuffle of "
             "pack_sequences\nstill scales.\n\n"
-            "| operator | wall@2 (s) | wall@8 (s) | wall@32 (s) | "
-            "docs/s @8 | 2→8 efficiency |\n|---|---|---|---|---|---|\n"
+            "| operator | "
+            + " | ".join(f"wall@{c} (s)" for c in tp_cores)
+            + f" | docs/s @{t_hi} | {t_lo}→{t_hi} efficiency |\n|---"
+            + "|---" * (len(tp_cores) + 2)
+            + "|\n"
         )
         for op in tp["ops"]:
-            r2, r8, r32 = (tp["per_cores"][c]["ops"][op] for c in ("2", "8", "32"))
-            eff = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4
+            per = {c: tp["per_cores"][c]["ops"][op] for c in tp_cores}
+            eff = (
+                per[t_hi]["docs_per_sec"] / per[t_lo]["docs_per_sec"]
+            ) / factor
             text += (
-                f"| {op} | {r2['wall_sec']} | {r8['wall_sec']} | "
-                f"{r32['wall_sec']} | {r8['docs_per_sec']:,} | "
-                f"{eff:.3f} |\n"
+                "| " + op + " | "
+                + " | ".join(str(per[c]["wall_sec"]) for c in tp_cores)
+                + f" | {per[t_hi]['docs_per_sec']:,} | {eff:.3f} |\n"
             )
     (bench / "BASELINE.md").write_text(text)
 
@@ -300,10 +308,12 @@ def run_scaling(n_docs: int, n_cores: int = 2, scale_factor: int = 4) -> dict:
     scaling_file = REPO / "BENCH" / "scaling.json"
     scaling_file.parent.mkdir(exist_ok=True)
     if scaling_file.exists():
-        # keep sections other measurements own (e.g. the 10M slice)
+        # carry over ONLY the sections other measurements own — blanket
+        # setdefault would resurrect stale localN keys from a run with a
+        # different n_cores and corrupt the rendered lo/hi pair
         prior = json.loads(scaling_file.read_text())
-        for k, v in prior.items():
-            summary.setdefault(k, v)
+        if "slice_10m" in prior:
+            summary.setdefault("slice_10m", prior["slice_10m"])
     scaling_file.write_text(json.dumps(summary, indent=2))
     _render_baseline_md()
     return summary

@@ -37,13 +37,22 @@ def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
     so — but repeated calls with the same path must not keep re-pointing
     it: Spark materializes a fresh UUID subdirectory per call, so the
     check compares the requested path against the PARENT of the current
-    (qualified) checkpoint dir, scheme-insensitively.
+    (qualified) checkpoint dir. The requested path is fully QUALIFIED
+    through the Hadoop FileSystem first (scheme + authority), so the
+    same path string on a different filesystem — ``/x`` local vs
+    ``hdfs:///x`` — is correctly treated as different and re-pointed.
     """
     cur = sc.getCheckpointDir()  # e.g. 'file:/x/y/<uuid>' or None
     if cur is not None:
+        jvm = sc._jvm
+        want_p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        want_q = str(
+            want_p.getFileSystem(sc._jsc.hadoopConfiguration()).makeQualified(
+                want_p
+            )
+        )
         parent = cur.rstrip("/").rsplit("/", 1)[0]
-        want = checkpoint_dir.rstrip("/")
-        if parent.split(":", 1)[-1].lstrip("/") == want.split(":", 1)[-1].lstrip("/"):
+        if parent.rstrip("/") == want_q.rstrip("/"):
             return
     sc.setCheckpointDir(checkpoint_dir)
 

@@ -163,6 +163,19 @@ def _read_store_pruned(
 
     if not pts:
         return None
+    # "no store yet" = no pt=* data partitions. The directory itself can
+    # exist earlier (the _layout.json marker is written at stream
+    # start), so path existence alone doesn't mean data — and a read of
+    # a data-less dir fails schema inference rather than path lookup.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    found = fs.globStatus(hpath(state_dir.rstrip("/") + "/pt=*"))
+    if found is None or len(list(found)) == 0:
+        return None
     try:
         store = spark.read.parquet(state_dir).filter(
             F.col("batch_id") < F.lit(batch_id)
@@ -171,9 +184,66 @@ def _read_store_pruned(
             store = store.filter(F.col("pt").isin([int(p) for p in pts]))
         return store
     except AnalysisException as e:
+        # any read failure past this point (corrupt footer, permissions,
+        # botched compaction) must FAIL the batch so the checkpoint
+        # retries — swallowing it would silently disable cross-batch
+        # dedup
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         return None
+
+
+def _check_store_layout(
+    spark: SparkSession, state_dir: str, layout: dict
+) -> None:
+    """Fail fast when a store is reopened with different blocking
+    parameters.
+
+    The store holds PRECOMPUTED pt/bucket values, so every parameter
+    that feeds them (bands / planes / tables / store_partitions / seed /
+    hash config) is baked into the rows: restarting the stream with a
+    different value would make the (pt, bucket) equi-join silently match
+    nothing (or the wrong rows) and near-dups of stored docs would pass
+    through undetected. The first run writes ``_layout.json`` into the
+    store root (underscore prefix keeps it out of partition discovery);
+    later runs compare and raise on any difference. Hadoop FileSystem
+    API, so the check works on cluster stores too.
+    """
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hpath(state_dir.rstrip("/") + "/_layout.json")
+    if fs.exists(marker):
+        # read JVM-side: py4j passes byte[] by VALUE, so a Java
+        # stream.read(python_buf) never fills the Python buffer
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            fs.open(marker), bos, 4096, True
+        )
+        existing = json.loads(bos.toString("UTF-8"))
+        if existing != layout:
+            diffs = {
+                k: (existing.get(k), layout.get(k))
+                for k in set(existing) | set(layout)
+                if existing.get(k) != layout.get(k)
+            }
+            raise ValueError(
+                "state store at "
+                f"{state_dir} was built with different blocking "
+                f"parameters (stored vs requested): {diffs} — precomputed "
+                "buckets are incompatible; rebuild the store or restore "
+                "the original parameters"
+            )
+        return
+    fs.mkdirs(root)
+    out = fs.create(marker, True)
+    try:
+        out.write(json.dumps(layout, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
 
 
 def _write_store(rows: DataFrame, state_dir: str, batch_id: int) -> None:
@@ -386,6 +456,18 @@ def incremental_fuzzy_unique_documents(
         if final is not survivors:
             final.unpersist()
 
+    _check_store_layout(
+        spark,
+        state_dir,
+        {
+            "kind": "minhash",
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "store_partitions": store_partitions,
+        },
+    )
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)
 
 
@@ -393,10 +475,13 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     """Merge every batch's partitions of a dedup state store into the
     single highest ``batch_id``; returns the surviving batch_id.
 
-    Handles both store layouts: the bucket-partitioned layout the
-    streaming dedup operators write (``pt=K/batch_id=N``, compacted to
+    Operates on the bucket-partitioned layout the streaming dedup
+    operators write (``pt=K/batch_id=N``, compacted to
     ``pt=K/batch_id=<max>`` per pt — partition pruning keeps working on
-    the compacted store) and a flat ``batch_id=N`` layout. All file
+    the compacted store). A legacy flat ``batch_id=N`` store (written by
+    pre-bucket-layout code) raises: the pruned cross-batch read path
+    cannot consume it either, so the honest answer is "rebuild the
+    state", not a compaction that papers over the mismatch. All file
     operations go through the Hadoop FileSystem API resolved from
     ``state_dir`` itself, so the same code compacts a local directory, an
     ``hdfs://`` path, or an object store — no local-filesystem
@@ -436,8 +521,13 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     def _batch_of(status) -> int:
         return int(status.getPath().getName().split("=", 1)[1])
 
-    nested = _glob(f"{state_dir}/pt=*/batch_id=*")
-    parts = nested or _glob(f"{state_dir}/batch_id=*")
+    parts = _glob(f"{state_dir}/pt=*/batch_id=*")
+    if not parts and _glob(f"{state_dir}/batch_id=*"):
+        raise ValueError(
+            f"{state_dir} holds a legacy flat batch_id=N store; the "
+            "bucket-partitioned cross-batch read path cannot consume it "
+            "— delete the state dir and let the stream rebuild it"
+        )
     batch_ids = sorted({_batch_of(s) for s in parts})
     if len(batch_ids) <= 1:
         return batch_ids[0] if batch_ids else -1
@@ -448,10 +538,7 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
     # alike — crash-leftover duplicates are byte-identical rows
     merged = spark.read.parquet(state_dir).drop("batch_id").dropDuplicates()
     staging = f"{state_dir.rstrip('/')}/_compacting"
-    writer = merged.write.mode("overwrite")
-    if nested:
-        writer = writer.partitionBy("pt")
-    writer.parquet(staging)
+    merged.write.mode("overwrite").partitionBy("pt").parquet(staging)
 
     def _move_parts(src_dir, dest_dir) -> None:
         fs.mkdirs(dest_dir)
@@ -463,18 +550,13 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
                     hpath(dest_dir, f"compact-{uuid.uuid4().hex}-{name}"),
                 )
 
-    if nested:
-        for st in _glob(f"{staging}/pt=*"):
-            _move_parts(
-                st.getPath(),
-                hpath(
-                    f"{state_dir.rstrip('/')}/"
-                    f"{st.getPath().getName()}/batch_id={max_id}"
-                ),
-            )
-    else:
+    for st in _glob(f"{staging}/pt=*"):
         _move_parts(
-            hpath(staging), hpath(f"{state_dir.rstrip('/')}/batch_id={max_id}")
+            st.getPath(),
+            hpath(
+                f"{state_dir.rstrip('/')}/"
+                f"{st.getPath().getName()}/batch_id={max_id}"
+            ),
         )
     for st in parts:
         if _batch_of(st) != max_id:
@@ -539,22 +621,10 @@ def incremental_unique_embeddings(
         .parquet(input_dir)
     )
 
-    def tagged_buckets(vecs: DataFrame) -> DataFrame:
-        parts = [
-            rp_lsh_buckets(
-                vecs, dim, num_planes, "id", "v", seed + 1000 * t
-            ).select("id", F.lit(t).alias("tbl"), "bucket")
-            for t in range(num_tables)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out
-
     def bucket_rows(vecs: DataFrame) -> DataFrame:
-        # store-shaped rows: vector carried next to its bucket so the
-        # cross-batch join verifies cosine in-join; pure projections +
-        # union, zero shuffle
+        # store-shaped rows: vector carried next to its bucket so every
+        # join (within-batch AND cross-batch) verifies cosine in-join;
+        # pure projections + union, zero shuffle
         parts = [
             rp_lsh_buckets(
                 vecs, dim, num_planes, "id", "v", seed + 1000 * t, keep=("v",)
@@ -589,36 +659,33 @@ def incremental_unique_embeddings(
             raise ValueError(
                 f"batch {batch_id}: {n_bad} vectors whose length != dim={dim}"
             )
-        bk = tagged_buckets(vecs)
+        # hyperplane dots are the dominant per-row compute: compute the
+        # bucket rows ONCE, cache, and derive the within-batch join, the
+        # cross-batch probe, and the store write from the same rows
+        rows = bucket_rows(vecs).cache()
 
-        # within-batch: bucket candidates → exact cosine → CC → keep min
-        cand = (
-            bk.alias("a")
+        # within-batch: bucket candidates verified by exact cosine
+        # IN-join (vectors travel with their buckets) → CC → keep min
+        edges = (
+            rows.alias("a")
             .join(
-                bk.alias("b"),
-                (F.col("a.tbl") == F.col("b.tbl"))
+                rows.alias("b"),
+                (F.col("a.pt") == F.col("b.pt"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-        )
-        edges = (
-            cand.join(vecs.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
-            .join(vecs.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
-            .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= threshold)
-            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .filter(cosine_sim(F.col("a.v"), F.col("b.v")) >= threshold)
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         )
         losers = connected_components(edges).filter(
             F.col("node") != F.col("component")
         ).select(F.col("node").alias("id"))
-        survivors = vecs.join(losers, "id", "left_anti")
+        survivors = vecs.join(losers, "id", "left_anti").cache()
 
         # cross-batch: pruned read of the bucket-partitioned store —
         # strictly-older batches (replay-safe) AND only the pt
         # partitions this batch's buckets hit
-        survivors = survivors.cache()
-        new_rows = bucket_rows(survivors)
+        new_rows = rows.join(losers, "id", "left_anti")
         pts = [r["pt"] for r in new_rows.select("pt").distinct().collect()]
         store = _read_store_pruned(
             spark, state_dir, batch_id, pts, num_tables * store_partitions
@@ -636,16 +703,31 @@ def incremental_unique_embeddings(
                 .distinct()
             )
             final = survivors.join(hits, "id", "left_anti").cache()
+            final_rows = new_rows.join(hits, "id", "left_anti")
         else:
             final = survivors
+            final_rows = new_rows
 
         final.write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"
         )
-        _write_store(bucket_rows(final), state_dir, batch_id)
+        _write_store(final_rows, state_dir, batch_id)
         vecs.unpersist()
+        rows.unpersist()
         survivors.unpersist()
         if final is not survivors:
             final.unpersist()
 
+    _check_store_layout(
+        spark,
+        state_dir,
+        {
+            "kind": "embedding",
+            "dim": dim,
+            "num_planes": num_planes,
+            "num_tables": num_tables,
+            "seed": seed,
+            "store_partitions": store_partitions,
+        },
+    )
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)

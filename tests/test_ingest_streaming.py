@@ -412,6 +412,26 @@ def test_streaming_store_read_prunes_partitions(spark, tmp_path):
     assert "batch_id" in pf and " IN " not in pf
 
 
+def test_streaming_store_layout_mismatch_fails_fast(spark, tmp_path):
+    """Reopening a store with different blocking parameters must raise:
+    precomputed pt/bucket values are incompatible and a silent mismatch
+    would let near-dups of stored docs through undetected."""
+    import pytest
+
+    from llm_information_extraction_spark.streaming.incremental import (
+        _check_store_layout,
+    )
+
+    state = str(tmp_path / "state")
+    layout = {"kind": "minhash", "bands": 16, "store_partitions": 4}
+    _check_store_layout(spark, state, layout)  # first run writes marker
+    _check_store_layout(spark, state, dict(layout))  # same params: fine
+    with pytest.raises(ValueError, match="different blocking parameters"):
+        _check_store_layout(
+            spark, state, {**layout, "store_partitions": 8}
+        )
+
+
 def test_compact_signature_store_edge_cases(spark, tmp_path):
     """Missing store → -1; single-batch store → no-op returning that
     batch; double compaction is idempotent."""
