@@ -74,7 +74,9 @@ def incremental_unique_documents(
     fingerprint per distinct document, never text. The sink is Spark's
     transactional file sink (_spark_metadata commit log → exactly-once).
 
-    Returns the StreamingQuery; output rows are (doc_id, fp, payload).
+    Returns the StreamingQuery; output rows keep the INPUT row shape
+    (doc_id, spans) plus the fingerprint column ``fp``, so the deduped
+    stream feeds the batch KG pipeline directly.
     """
     from ..functions.textmetrics import doc_fingerprint
     from ..operators.payload import build_payload
@@ -85,7 +87,7 @@ def incremental_unique_documents(
         .parquet(input_dir)
     )
     with_fp = build_payload(stream).select(
-        "doc_id", doc_fingerprint("payload").alias("fp"), "payload"
+        "doc_id", "spans", doc_fingerprint("payload").alias("fp")
     )
     unique = with_fp.dropDuplicates(["fp"])
     writer = (

@@ -37,11 +37,17 @@ def main(argv: list[str] | None = None) -> int:
                         "instead of the synthetic generator")
     p.add_argument("--streaming-input", default=None,
                    help="watch this parquet dir with Structured Streaming: "
-                        "cross-batch MinHash near-dup dedup runs as the "
-                        "ingest front-end (checkpoint/state under the "
-                        "warehouse, so re-submission processes only NEW "
-                        "files), then the batch KG pipeline consumes the "
-                        "accumulated deduped documents")
+                        "cross-batch dedup runs as the ingest front-end "
+                        "(checkpoint/state under the warehouse, so "
+                        "re-submission processes only NEW files), then the "
+                        "batch KG pipeline consumes the accumulated deduped "
+                        "documents")
+    p.add_argument("--streaming-dedup", choices=["minhash", "exact"],
+                   default="minhash",
+                   help="streaming front-end flavor: 'minhash' catches "
+                        "near-duplicates via the bucket-partitioned "
+                        "signature store; 'exact' catches byte-identical "
+                        "content via the Spark state store (cheaper)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--mode", choices=["full_text", "abstract"],
                    default="full_text")
@@ -68,20 +74,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming_input:
         from llm_information_extraction_spark.streaming.incremental import (
             incremental_fuzzy_unique_documents,
+            incremental_unique_documents,
         )
 
         stream_dir = f"{args.warehouse.rstrip('/')}/stream"
-        q = incremental_fuzzy_unique_documents(
-            spark,
-            args.streaming_input,
-            f"{stream_dir}/unique",
-            f"{stream_dir}/ckpt",
-            f"{stream_dir}/state",
-            available_now=True,
-        )
+        if args.streaming_dedup == "exact":
+            q = incremental_unique_documents(
+                spark,
+                args.streaming_input,
+                f"{stream_dir}/unique",
+                f"{stream_dir}/ckpt",
+                available_now=True,
+            )
+        else:
+            q = incremental_fuzzy_unique_documents(
+                spark,
+                args.streaming_input,
+                f"{stream_dir}/unique",
+                f"{stream_dir}/ckpt",
+                f"{stream_dir}/state",
+                available_now=True,
+            )
         q.awaitTermination()
-        documents = spark.read.parquet(f"{stream_dir}/unique").drop(
-            "batch_id"
+        documents = (
+            spark.read.parquet(f"{stream_dir}/unique")
+            .drop("batch_id", "fp")
+            .select("doc_id", "spans")
         )
     else:
         documents = spark.read.parquet(args.input) if args.input else None
