@@ -55,18 +55,25 @@ def cosine_topk_join(
     item_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """For every query row, its exact top-k items by cosine.
 
     Broadcast-nested-loop over a *small* query set: shuffle-free scoring,
     then a per-query window top-k. Returns (query_id, id, cosine, rank).
+
+    ``broadcast_queries=False`` drops the broadcast hint for query sets
+    too large to build a broadcast relation (offline all-pairs-style
+    jobs): the cross join degrades to a partition-pairing cartesian —
+    strictly more data movement, but it completes where a broadcast
+    build would OOM. Results are identical either way.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            _as_double_array(query_vec).alias("q_vec"),
-        )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double_array(query_vec).alias("q_vec"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     scored = items.select(
         F.col(item_id).alias("id"), _as_double_array(item_vec).alias("v")
     ).crossJoin(q).select(
@@ -167,6 +174,21 @@ def ivf_index(
         from ..functions.sampling import hash_uniform
 
         fit_src = src.filter(hash_uniform("id", "ivf_fit") < fit_fraction)
+        # a quantizer needs at least n_centroids training vectors; a tiny
+        # corpus (or a fraction tuned for a bigger one) can hash-sample
+        # fewer, and KMeans then fails with an opaque Breeze error or
+        # silently fits a degenerate codebook. The count is one cheap job
+        # at INDEX BUILD time, not on the serving path.
+        if fit_src.count() < n_centroids:
+            import warnings
+
+            warnings.warn(
+                f"ivf_index: fit_fraction={fit_fraction} sampled fewer "
+                f"than n_centroids={n_centroids} vectors; fitting the "
+                "quantizer on the full corpus instead",
+                stacklevel=2,
+            )
+            fit_src = src
     else:
         fit_src = src
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fit_src)
@@ -199,7 +221,10 @@ def ivf_topk(
     norms = np.linalg.norm(cents, axis=1)
     norms[norms == 0] = 1.0
     sims = (cents / norms[:, None]) @ qn
-    probe_cells = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    # stable sort: centroid-similarity ties break by cell index, matching
+    # ivf_topk_join's window ordering (csim desc, cell asc) — an unstable
+    # quicksort argsort could pick a different probe set on tied sims
+    probe_cells = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
 
     q_col = F.array(*[F.lit(float(x)) for x in query])
     return (
@@ -242,6 +267,8 @@ def ivf_topk_join(
     n_probe: int = 4,
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    broadcast_queries: bool | None = None,
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k for a whole DataFrame of queries in ONE job —
     the real IVF serving shape (a python loop of :func:`ivf_topk` calls
@@ -249,12 +276,24 @@ def ivf_topk_join(
 
     Probe-cell assignment happens in-plan: queries × centroids (both
     broadcast-small) → per-query top-``n_probe`` cells by centroid
-    cosine, then ONE broadcast join of (query, cell, q_vec) against the
-    index fans each index row out to only the queries probing its cell.
-    The index is scanned exactly once for the whole batch; per-query
-    work stays bounded by its n_probe cells. Tie-breaks mirror
-    :func:`ivf_topk` (stable by cell idx / vector id), so per-query
-    results are identical to the one-at-a-time path.
+    cosine, then ONE join of (query, cell, q_vec) against the index fans
+    each index row out to only the queries probing its cell. The index
+    is scanned exactly once for the whole batch; per-query work stays
+    bounded by its n_probe cells. Tie-breaks are aligned with
+    :func:`ivf_topk` (centroid-sim ties break by cell index in both, and
+    item-cosine ties by vector id) — per-query results match the
+    one-at-a-time path up to last-ulp differences between numpy's and
+    Spark's float summation on centroid similarities, which can flip
+    probe choice only when two centroid sims are within rounding noise.
+
+    ``broadcast_queries``: True forces the broadcast-join serving shape
+    (right for online batches); False repartitions index and probes by
+    ``cell`` instead — the offline path for probe sets too large to
+    broadcast (an all-pairs-style query DataFrame). None (default) picks
+    automatically: one cheap ``count()`` of the query set, broadcast iff
+    ``n_queries * n_probe <= broadcast_limit`` rows. Both shapes return
+    identical rows; the shuffle shape adds a cell-keyed exchange on each
+    side, and a hot cell there is ordinary join skew (AQE splits it).
 
     Returns (query_id, id, cosine, rank ≤ k).
     """
@@ -282,7 +321,15 @@ def ivf_topk_join(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    scored = index.join(F.broadcast(probes), "cell").select(
+    if broadcast_queries is None:
+        broadcast_queries = q.count() * n_probe <= broadcast_limit
+    if broadcast_queries:
+        joined = index.join(F.broadcast(probes), "cell")
+    else:
+        joined = index.repartition("cell").join(
+            probes.repartition("cell"), "cell"
+        )
+    scored = joined.select(
         "query_id",
         "id",
         cosine_sim(F.col("v"), F.col("q_vec")).alias("cosine"),

@@ -458,6 +458,94 @@ def test_ivf_topk_join_empty_queries(spark):
     assert out.count() == 0
 
 
+def test_ivf_topk_join_shuffle_fallback_matches_broadcast(spark):
+    """The cell-repartition shuffle shape (probe sets too large to
+    broadcast) must return exactly the broadcast serving shape's rows,
+    and the auto knob must pick it when n_queries*n_probe exceeds the
+    limit."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index, centroids = ivf_index(emb, n_centroids=8)
+    queries = emb.orderBy("vec_id").limit(20).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["id"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    bc = ivf_topk_join(
+        index, centroids, queries, k=5, n_probe=3, broadcast_queries=True
+    )
+    sh = ivf_topk_join(
+        index, centroids, queries, k=5, n_probe=3, broadcast_queries=False
+    )
+    assert rows(sh) == rows(bc)
+    # auto mode: 20 queries * 3 probes = 60 > limit → shuffle path; the
+    # plan must carry no broadcast of the probe set
+    auto = ivf_topk_join(
+        index, centroids, queries, k=5, n_probe=3, broadcast_limit=10
+    )
+    assert rows(auto) == rows(bc)
+
+
+def test_ivf_index_undersized_fit_sample_falls_back_to_full(spark):
+    """A hash sample smaller than n_centroids cannot train the
+    quantizer: ivf_index must warn and fall back to a full-corpus fit
+    instead of failing inside KMeans with an opaque error."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.warns(UserWarning, match="fewer than n_centroids"):
+        index, centroids = ivf_index(
+            emb, n_centroids=8, fit_fraction=1e-9
+        )
+    _, full = ivf_index(emb, n_centroids=8)
+    assert centroids == full  # identical to the full-corpus fit
+    assert index.count() == emb.count()
+
+
+def test_ivf_topk_tied_centroids_match_batched_probe_choice(spark):
+    """Duplicate centroids produce exactly tied centroid similarities:
+    the numpy probe pick (stable argsort) and the window pick
+    (csim desc, cell asc) must choose the SAME cells — lower cell index
+    wins in both paths."""
+    from llm_information_extraction_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_join,
+    )
+
+    # handcrafted index: cells 0/1 share a centroid (exact tie), cell 2
+    # is orthogonal to the query
+    centroids = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    index = spark.createDataFrame(
+        [(1, [0.9, 0.1], 0), (2, [0.8, 0.2], 1), (3, [0.0, 1.0], 2)],
+        "id bigint, v array<double>, cell int",
+    )
+    query = [1.0, 0.0]
+    single = [
+        r["id"]
+        for r in ivf_topk(index, centroids, query, k=5, n_probe=1).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(7, query)], "query_id bigint, embedding array<double>"
+    )
+    joined = ivf_topk_join(index, centroids, queries, k=5, n_probe=1)
+    batched = [
+        r["id"] for r in joined.orderBy("rank").collect()
+    ]
+    # n_probe=1 on a tied pair: both paths must probe cell 0 only
+    assert single == [1] and batched == [1]
+
+
 def test_ivf_topk_join_dynamic_partition_pruning(spark, tmp_path):
     """Batched serving against a PERSISTED cell-partitioned index:
     Spark's dynamic partition pruning turns the broadcast probe join
