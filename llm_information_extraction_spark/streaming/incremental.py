@@ -288,6 +288,7 @@ def incremental_fuzzy_unique_documents(
     bands: int = 16,
     seed: int = 42,
     store_partitions: int = 4,
+    verify_hashes: int | None = 256,
     available_now: bool = True,
 ):
     """Streaming CROSS-BATCH near-duplicate (MinHash) dedup.
@@ -318,9 +319,26 @@ def incremental_fuzzy_unique_documents(
        replay-idempotent (the standard exactly-once foreachBatch recipe).
 
     Similarity is the SIGNATURE estimate (matching-slot fraction): the
-    store deliberately holds no text to re-verify against. Callers
-    needing exact-Jaccard confirmation keep a doc store and run
-    ``minhash_verified_pairs`` offline.
+    store deliberately holds no text to re-verify against, so a drop
+    decision carries estimator noise — stderr ≈ √(J(1−J)/k) for k
+    hashes, and a colliding pair whose true Jaccard sits below the
+    threshold can be FALSELY dropped (silent loss of unique data).
+    ``verify_hashes`` bounds that risk without touching the blocking
+    geometry: the hash family is prefix-stable (slot i is
+    ``xxhash64(h, seed+i)``), so one ``verify_hashes``-slot signature is
+    computed per doc, bands hash only its first ``num_hashes`` slots
+    (bucket keys identical to the short-signature layout), and the drop
+    estimate averages ALL slots. At the default 256 the stderr near a
+    0.8 threshold falls from ≈0.05 to ≈0.025; measured on planted pairs
+    (``tools/measure_minhash_fp.py``, table in
+    ``BENCH/streaming_store.md``) the false-drop rate at true J = 0.7
+    goes from percent-level to zero in 3000 trials (binomial tail
+    ≈ 2×10⁻⁴). The cost is store size — ``bands · verify_hashes`` longs
+    per surviving doc (32 KB at defaults vs 8 KB) — still ≪ corpus;
+    set ``verify_hashes=None`` to keep the 64-slot store when that
+    false-drop rate is acceptable. Callers needing EXACT-Jaccard
+    confirmation keep a doc store and run ``minhash_verified_pairs``
+    offline.
 
     ``doc_id`` must be globally unique across the STREAM's lifetime
     (suppression is keyed by id): if a later batch reuses an id with
@@ -329,8 +347,9 @@ def incremental_fuzzy_unique_documents(
 
     Storing buckets costs ``bands`` rows per doc (the signature is
     duplicated per band); that is the deliberate trade for pruned reads —
-    at 100 TB the store is still ≪ the corpus (64 longs × bands ≈ 8 KB
-    per surviving doc) while the per-batch scan stays O(batch). Raise
+    at 100 TB the store is still ≪ the corpus (``bands`` ×
+    ``(verify_hashes or num_hashes)`` longs ≈ 32 KB per surviving doc at
+    defaults) while the per-batch scan stays O(batch). Raise
     ``store_partitions`` on large clusters so single partitions stay
     below executor-memory scale. Run :func:`compact_signature_store`
     periodically (between stream runs) to bound the directory count,
@@ -340,6 +359,14 @@ def incremental_fuzzy_unique_documents(
 
     from ..operators.canonicalize import connected_components
     from ..operators.dedup import _banded_buckets
+
+    if verify_hashes is not None and verify_hashes < num_hashes:
+        raise ValueError(
+            f"verify_hashes={verify_hashes} must be >= num_hashes="
+            f"{num_hashes} (bands hash the signature's first num_hashes "
+            "slots; a shorter verify signature cannot contain them)"
+        )
+    sig_len = verify_hashes or num_hashes
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -362,10 +389,13 @@ def incremental_fuzzy_unique_documents(
         # a micro-batch, and zero shuffle (see minhash_signature's
         # measured crossover note — explode+agg wins only on large
         # corpora with big payloads)
+        # sig_len slots computed once: bands consume slots [0, num_hashes)
+        # (prefix-stable hash family → bucket keys identical to a
+        # 64-slot store), the drop estimate averages all sig_len slots
         sig = docs.select(
             F.col("doc_id").alias("id"),
             minhash_signature(
-                word_shingles("payload", n), num_hashes, seed
+                word_shingles("payload", n), sig_len, seed
             ).alias("sig"),
         ).cache()
         buckets = _banded_buckets(sig, num_hashes, bands)
@@ -386,7 +416,7 @@ def incremental_fuzzy_unique_documents(
             cand.join(sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
             .join(sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
             .filter(
-                _sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
+                _sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), sig_len)
                 >= threshold
             )
             .select(
@@ -435,7 +465,7 @@ def incremental_fuzzy_unique_documents(
                 )
                 .filter(
                     _sig_est_jaccard(
-                        F.col("nw.sig"), F.col("od.sig"), num_hashes
+                        F.col("nw.sig"), F.col("od.sig"), sig_len
                     )
                     >= threshold
                 )
@@ -468,6 +498,7 @@ def incremental_fuzzy_unique_documents(
             "bands": bands,
             "seed": seed,
             "store_partitions": store_partitions,
+            "verify_hashes": verify_hashes,
         },
     )
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)

@@ -323,6 +323,78 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
     assert ids3 == ids | {7}  # 6 caught against the compacted store
 
 
+def test_streaming_fuzzy_dedup_verify_hashes_prevents_false_drop(
+    spark, tmp_path
+):
+    """The cross-batch drop decision is a signature ESTIMATE; pair
+    '42x12' (true word-3-gram Jaccard = 40/56 ≈ 0.714, below the 0.8
+    threshold) band-collides and its 64-slot estimate reads 0.812 — the
+    narrow gate falsely drops unique data. The default 256-slot verify
+    signature (same bucket keys: the hash family is prefix-stable) reads
+    0.746 and keeps it. Deterministic pair found by
+    tools/measure_minhash_fp.py; measured false-drop curve in
+    BENCH/minhash_fp.json."""
+    import pytest
+
+    from llm_information_extraction_spark.sources.synthetic import (
+        DOCUMENTS_SCHEMA,
+    )
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_fuzzy_unique_documents,
+    )
+
+    s, m, pid = 42, 50, "42x12"
+    shared = [f"p{pid}s{i}" for i in range(s)]
+    text_a = " ".join(shared + [f"p{pid}a{i}" for i in range(m - s)])
+    text_b = " ".join(shared + [f"p{pid}b{i}" for i in range(m - s)])
+
+    def run(tag, **kw):
+        import time
+
+        in_dir = str(tmp_path / tag / "in")
+        paths = {
+            "out": str(tmp_path / tag / "out"),
+            "ckpt": str(tmp_path / tag / "ckpt"),
+            "state": str(tmp_path / tag / "state"),
+        }
+        for batch in ([_span_doc("a", text_a)], [_span_doc("b", text_b)]):
+            spark.createDataFrame(batch, DOCUMENTS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+            q = incremental_fuzzy_unique_documents(
+                spark,
+                in_dir,
+                paths["out"],
+                paths["ckpt"],
+                paths["state"],
+                threshold=0.8,
+                **kw,
+            )
+            q.awaitTermination(180)
+            q.stop()
+            for _ in range(100):
+                if not q.isActive:
+                    break
+                time.sleep(0.2)
+        return {r["doc_id"] for r in spark.read.parquet(paths["out"]).collect()}
+
+    # default (verify_hashes=256): the non-dup pair survives intact
+    assert run("wide") == {"a", "b"}
+    # narrow 64-slot gate: 'b' is falsely dropped — the measured failure
+    # mode the wider default exists to prevent
+    assert run("narrow", verify_hashes=None) == {"a"}
+    # a verify signature shorter than the blocking signature is invalid
+    with pytest.raises(ValueError, match="must be >= num_hashes"):
+        incremental_fuzzy_unique_documents(
+            spark,
+            str(tmp_path / "x"),
+            str(tmp_path / "y"),
+            str(tmp_path / "z"),
+            str(tmp_path / "w"),
+            verify_hashes=32,
+        )
+
+
 def test_streaming_fuzzy_dedup_collapses_same_batch_duplicate_rows(
     spark, tmp_path
 ):
