@@ -30,6 +30,7 @@ def incremental_triples(
     output_dir: str,
     checkpoint_dir: str,
     mode: str = "full_text",
+    max_files_per_trigger: int = 16,
     available_now: bool = True,
 ):
     """Stream documents(doc_id, spans[]) parquet files → triples parquet.
@@ -40,7 +41,7 @@ def incremental_triples(
     """
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     vdf = vocabulary_df(spark)
@@ -62,6 +63,7 @@ def incremental_unique_documents(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
     available_now: bool = True,
 ):
     """Streaming CROSS-BATCH exact dedup: the stateful operator a 100 TB
@@ -83,7 +85,7 @@ def incremental_unique_documents(
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     with_fp = build_payload(stream).select(
@@ -266,6 +268,38 @@ def _write_store(rows: DataFrame, state_dir: str, batch_id: int) -> None:
     )
 
 
+def _auto_compact(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str,
+    compact_batches: int | None,
+) -> None:
+    """Bound a state store's directory count across stream restarts:
+    when the store holds ``compact_batches`` or more distinct batch_id
+    partitions, merge the COMMITTED ones into a single partition before
+    the stream starts.
+
+    Stream start is the documented no-concurrent-writer safe point, and
+    passing the checkpoint dir keeps any crash-uncommitted batch's
+    partitions untouched (see :func:`compact_signature_store`) — so this
+    runs unattended. The directory count grows with BATCHES, not rows;
+    without compaction a long-lived stream accumulates
+    O(batches · pt-space) directories and listing cost creeps into every
+    pruned read."""
+    if compact_batches is None:
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    found = fs.globStatus(hpath(state_dir.rstrip("/") + "/pt=*/batch_id=*"))
+    ids = {st.getPath().getName() for st in (list(found) if found else [])}
+    if len(ids) >= compact_batches:
+        compact_signature_store(spark, state_dir, checkpoint_dir)
+
+
 def _start_foreach(stream, process_batch, checkpoint_dir: str, available_now: bool):
     """Common foreachBatch writer tail for the streaming dedup ops."""
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -289,6 +323,8 @@ def incremental_fuzzy_unique_documents(
     seed: int = 42,
     store_partitions: int = 4,
     verify_hashes: int | None = 256,
+    compact_batches: int | None = 64,
+    max_files_per_trigger: int = 16,
     available_now: bool = True,
 ):
     """Streaming CROSS-BATCH near-duplicate (MinHash) dedup.
@@ -351,9 +387,11 @@ def incremental_fuzzy_unique_documents(
     ``(verify_hashes or num_hashes)`` longs ≈ 32 KB per surviving doc at
     defaults) while the per-batch scan stays O(batch). Raise
     ``store_partitions`` on large clusters so single partitions stay
-    below executor-memory scale. Run :func:`compact_signature_store`
-    periodically (between stream runs) to bound the directory count,
-    which grows with batches, not rows.
+    below executor-memory scale. The store's directory count grows with
+    batches, not rows: every stream start auto-compacts committed
+    batches once ``compact_batches`` distinct batch partitions have
+    accumulated (None disables; :func:`compact_signature_store` can
+    still be run manually between runs).
     """
     from pyspark.sql import functions as F
 
@@ -370,7 +408,7 @@ def incremental_fuzzy_unique_documents(
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -501,12 +539,47 @@ def incremental_fuzzy_unique_documents(
             "verify_hashes": verify_hashes,
         },
     )
+    _auto_compact(spark, state_dir, checkpoint_dir, compact_batches)
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)
 
 
-def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
+def _last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Highest batch id recorded in a Structured Streaming checkpoint's
+    ``commits/`` log (−1 when nothing has committed). Batches at or
+    below it can never be replayed; anything above can."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    cdir = hpath(checkpoint_dir.rstrip("/") + "/commits")
+    fs = cdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cdir):
+        return -1
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(cdir)
+        if st.getPath().getName().isdigit()
+    ]
+    return max(ids, default=-1)
+
+
+def compact_signature_store(
+    spark: SparkSession, state_dir: str, checkpoint_dir: str | None = None
+) -> int:
     """Merge every batch's partitions of a dedup state store into the
     single highest ``batch_id``; returns the surviving batch_id.
+
+    ``checkpoint_dir`` (the stream's checkpoint location) makes the
+    merge safe against the crash-before-commit window: only batches AT
+    OR BELOW the last id in the checkpoint's ``commits/`` log are
+    compacted. Without it, a run that crashed after writing state for
+    batch N but before committing N would have N's rows merged into the
+    surviving partition — the restarted stream replays N, its store read
+    (``batch_id < N``) finds no older history, and its dynamic overwrite
+    of the (pt, N) partitions would DESTROY the merged rows. With the
+    bound, uncommitted partitions are left untouched and the replay
+    overwrites only its own rows. Pass it whenever the store belongs to
+    a live stream (the streaming operators' auto-compaction does);
+    omitting it is only safe when no run has ever crashed mid-batch,
+    e.g. offline maintenance of a retired store.
 
     Operates on the bucket-partitioned layout the streaming dedup
     operators write (``pt=K/batch_id=N``, compacted to
@@ -522,8 +595,9 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
 
     Safe ONLY between stream runs (no concurrent writer): every row
     keeps a copy, and future batches N > max read ``batch_id < N`` which
-    still matches everything — replay of any batch ≤ max cannot occur
-    because those batches are already committed in the stream checkpoint.
+    still matches everything — with ``checkpoint_dir``, replay of any
+    compacted batch cannot occur because only committed batches are
+    merged.
 
     Crash-safe ordering — duplicates are harmless to the dedup semantics
     (candidate hits are set-joined), loss is not, so the merged rows are
@@ -562,14 +636,31 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
             "— delete the state dir and let the stream rebuild it"
         )
     batch_ids = sorted({_batch_of(s) for s in parts})
+    if checkpoint_dir is not None:
+        # merge only batches the stream checkpoint has COMMITTED: an
+        # uncommitted batch (crash between state write and commit) will
+        # be replayed, reads batch_id < N, and dynamically overwrites
+        # its own (pt, N) partitions — merging its rows upward would let
+        # that overwrite destroy them
+        last_committed = _last_committed_batch(spark, checkpoint_dir)
+        batch_ids = [b for b in batch_ids if b <= last_committed]
     if len(batch_ids) <= 1:
         return batch_ids[0] if batch_ids else -1
     max_id = batch_ids[-1]
 
+    from pyspark.sql import functions as F
+
     # schema-agnostic: full-row distinct works for the MinHash store
     # (pt, bucket, id, sig) and the embedding store (pt, bucket, id, v)
-    # alike — crash-leftover duplicates are byte-identical rows
-    merged = spark.read.parquet(state_dir).drop("batch_id").dropDuplicates()
+    # alike — crash-leftover duplicates are byte-identical rows. The
+    # batch_id filter is a literal partition predicate (no-op when every
+    # batch is compactable).
+    merged = (
+        spark.read.parquet(state_dir)
+        .filter(F.col("batch_id") <= F.lit(max_id))
+        .drop("batch_id")
+        .dropDuplicates()
+    )
     staging = f"{state_dir.rstrip('/')}/_compacting"
     merged.write.mode("overwrite").partitionBy("pt").parquet(staging)
 
@@ -592,7 +683,7 @@ def compact_signature_store(spark: SparkSession, state_dir: str) -> int:
             ),
         )
     for st in parts:
-        if _batch_of(st) != max_id:
+        if _batch_of(st) != max_id and _batch_of(st) in batch_ids:
             fs.delete(st.getPath(), True)
     fs.delete(hpath(staging), True)
     return max_id
@@ -611,6 +702,8 @@ def incremental_unique_embeddings(
     seed: int = 42,
     store_partitions: int = 4,
     schema: str = "vec_id bigint, embedding array<double>",
+    compact_batches: int | None = 64,
+    max_files_per_trigger: int = 16,
     available_now: bool = True,
 ):
     """Streaming CROSS-BATCH embedding near-dup dedup (cosine ≥
@@ -636,8 +729,10 @@ def incremental_unique_embeddings(
     per-batch store I/O stays O(batch) at any stream age.
     Replay-idempotence follows the same recipe as the MinHash variant:
     per-batch-partition dynamic overwrites, store reads restricted to
-    strictly-older batches; :func:`compact_signature_store` bounds the
-    directory count (schema-agnostic). Within-batch cluster
+    strictly-older batches; every stream start auto-compacts committed
+    batches once ``compact_batches`` distinct batch partitions exist
+    (None disables; :func:`compact_signature_store` is schema-agnostic
+    and can also run manually). Within-batch cluster
     representatives keep the LEXICOGRAPHICALLY smallest id (ids are
     handled as strings, like every dedup operator here) — zero-pad
     numeric ids upstream if numeric-min semantics matter; the output id
@@ -650,7 +745,7 @@ def incremental_unique_embeddings(
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -672,6 +767,18 @@ def incremental_unique_embeddings(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # dim guard IN the value path: zip_with would pad a wrong-length
+        # vector with nulls, every plane dot would be NULL, every vector
+        # would land in bucket 0 of every table, and the candidate
+        # self-join would silently go quadratic. Wrapping ``v`` itself in
+        # when/raise_error means the first job that touches the batch
+        # fails (all writes come last, so nothing is committed) with the
+        # offending id in the message. Unlike the previous
+        # ``filter(size != dim).count()`` gate this schedules no
+        # blocking pre-pass job before the real work can be submitted;
+        # plan shape is unchanged (same Exchange count with and without
+        # the guard — when/raise_error stays inside the existing
+        # projection)
         vecs = (
             batch_df.select(
                 F.col(batch_df.columns[0]).cast("string").alias("id"),
@@ -681,17 +788,24 @@ def incremental_unique_embeddings(
             # candidate join — collapse them (contract: ids unique, so
             # duplicates are byte-identical and the pick deterministic)
             .dropDuplicates(["id"])
+            .select(
+                "id",
+                F.when(F.size("v") == dim, F.col("v"))
+                .otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "batch %s: vector %s length %s != dim %s",
+                            F.lit(str(batch_id)),
+                            F.col("id"),
+                            F.size("v").cast("string"),
+                            F.lit(str(dim)),
+                        )
+                    )
+                )
+                .alias("v"),
+            )
             .cache()
         )
-        # fail FAST on a dim mismatch: zip_with would pad with nulls,
-        # every plane dot would be NULL, every vector would land in
-        # bucket 0 of every table, and the candidate self-join would
-        # silently go quadratic
-        n_bad = vecs.filter(F.size("v") != dim).count()
-        if n_bad:
-            raise ValueError(
-                f"batch {batch_id}: {n_bad} vectors whose length != dim={dim}"
-            )
         # hyperplane dots are the dominant per-row compute: compute the
         # bucket rows ONCE, cache, and derive the within-batch join, the
         # cross-batch probe, and the store write from the same rows
@@ -763,4 +877,5 @@ def incremental_unique_embeddings(
             "store_partitions": store_partitions,
         },
     )
+    _auto_compact(spark, state_dir, checkpoint_dir, compact_batches)
     return _start_foreach(stream, process_batch, checkpoint_dir, available_now)

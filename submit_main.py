@@ -48,6 +48,30 @@ def main(argv: list[str] | None = None) -> int:
                         "near-duplicates via the bucket-partitioned "
                         "signature store; 'exact' catches byte-identical "
                         "content via the Spark state store (cheaper)")
+    p.add_argument("--streaming-max-files", type=int, default=16,
+                   help="maxFilesPerTrigger for the streaming front-end: "
+                        "files per micro-batch (latency/throughput knob)")
+    p.add_argument("--minhash-threshold", type=float, default=0.8,
+                   help="estimated-Jaccard drop threshold for the minhash "
+                        "streaming front-end")
+    p.add_argument("--minhash-num-hashes", type=int, default=64,
+                   help="blocking-signature width (bands hash these slots)")
+    p.add_argument("--minhash-bands", type=int, default=16,
+                   help="LSH bands over the blocking signature "
+                        "(must divide --minhash-num-hashes)")
+    p.add_argument("--minhash-verify-hashes", type=int, default=256,
+                   help="verify-signature width for the drop estimate "
+                        "(>= num-hashes; 0 = use the blocking signature "
+                        "only — cheaper store, measured higher false-drop "
+                        "rate, see BENCH/streaming_store.md)")
+    p.add_argument("--store-partitions", type=int, default=4,
+                   help="pt fan-out per band in the signature store "
+                        "(raise on large clusters so single partitions "
+                        "stay small)")
+    p.add_argument("--compact-batches", type=int, default=64,
+                   help="auto-compact the signature store at stream start "
+                        "once this many batch partitions accumulated "
+                        "(0 disables)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--mode", choices=["full_text", "abstract"],
                    default="full_text")
@@ -62,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["ingest", "unique_docs", "mentions", "triples"],
                    help="stop after this stage (testing/kill simulation)")
     args = p.parse_args(argv)
+    if args.input and args.streaming_input:
+        p.error(
+            "--input and --streaming-input are mutually exclusive: the "
+            "streaming front-end is itself the ingest source (its deduped "
+            "output feeds the batch pipeline); pass exactly one"
+        )
 
     from llm_information_extraction_spark.plans.pipeline import (
         KGPipeline,
@@ -84,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.streaming_input,
                 f"{stream_dir}/unique",
                 f"{stream_dir}/ckpt",
+                max_files_per_trigger=args.streaming_max_files,
                 available_now=True,
             )
         else:
@@ -93,14 +124,51 @@ def main(argv: list[str] | None = None) -> int:
                 f"{stream_dir}/unique",
                 f"{stream_dir}/ckpt",
                 f"{stream_dir}/state",
+                threshold=args.minhash_threshold,
+                num_hashes=args.minhash_num_hashes,
+                bands=args.minhash_bands,
+                store_partitions=args.store_partitions,
+                verify_hashes=args.minhash_verify_hashes or None,
+                compact_batches=args.compact_batches or None,
+                max_files_per_trigger=args.streaming_max_files,
                 available_now=True,
             )
         q.awaitTermination()
-        documents = (
-            spark.read.parquet(f"{stream_dir}/unique")
-            .drop("batch_id", "fp")
-            .select("doc_id", "spans")
-        )
+        # zero batches so far (empty/not-yet-populated input dir) means
+        # no unique/ output exists (minhash: no dir at all; exact: a dir
+        # holding only the _spark_metadata log) — that's "nothing to
+        # process", not a PATH_NOT_FOUND / schema-inference stack trace
+        unique_dir = f"{stream_dir}/unique"
+        from pyspark.errors import AnalysisException
+
+        try:
+            documents = (
+                spark.read.parquet(unique_dir)
+                .drop("batch_id", "fp")
+                .select("doc_id", "spans")
+            )
+        except AnalysisException as e:
+            msg = str(e)
+            if not any(
+                tag in msg
+                for tag in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                raise
+            print(json.dumps({
+                "warehouse": args.warehouse,
+                "counts": {},
+                "note": (
+                    f"streaming input {args.streaming_input} yielded no "
+                    "micro-batches yet; nothing to process — re-submit "
+                    "once files have landed"
+                ),
+            }))
+            return 0
     else:
         documents = spark.read.parquet(args.input) if args.input else None
     cfg = PipelineConfig(

@@ -323,6 +323,45 @@ def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
     assert ids3 == ids | {7}  # 6 caught against the compacted store
 
 
+def test_streaming_embedding_dedup_dim_mismatch_fails_in_plan(
+    spark, tmp_path
+):
+    """A wrong-length vector must fail the micro-batch BEFORE anything
+    commits — via the in-plan raise_error guard on the value path (zero
+    extra jobs), not a separate count() job. The error names the
+    offending id and nothing is written to output or store."""
+    import os
+
+    from pyspark.errors.exceptions.base import StreamingQueryException
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_unique_embeddings,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 5)],  # id 2: length 5 != dim 8
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = incremental_unique_embeddings(
+        spark,
+        in_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        dim=8,
+    )
+    with pytest.raises(StreamingQueryException, match="length 5 != dim 8"):
+        q.awaitTermination(180)
+        raise AssertionError("query should have failed")  # pragma: no cover
+    q.stop()
+    # failed batch commits nothing: no output rows, no store partitions
+    assert not os.path.exists(f"{out_dir}/batch_id=0")
+    assert not any(
+        p.startswith("pt=") for p in os.listdir(str(tmp_path / "state"))
+    )
+
+
 def test_streaming_fuzzy_dedup_verify_hashes_prevents_false_drop(
     spark, tmp_path
 ):
@@ -527,3 +566,143 @@ def test_compact_signature_store_edge_cases(spark, tmp_path):
     assert compact_signature_store(spark, state) == 9  # idempotent
     rows = {(r["pt"], r["id"]) for r in spark.read.parquet(state).collect()}
     assert rows == {(0, "a"), (1, "b"), (0, "c")}
+
+
+def test_compact_checkpoint_aware_spares_uncommitted_batch(spark, tmp_path):
+    """Crash-before-commit window: with a checkpoint dir, compaction
+    merges only COMMITTED batches — an uncommitted batch's partitions
+    stay where the replay's dynamic overwrite expects to replace them,
+    so the replayed batch cannot destroy merged history."""
+    import glob
+    import os
+
+    from llm_information_extraction_spark.streaming.incremental import (
+        _write_store,
+        compact_signature_store,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "pt int, bucket long, id string, sig array<bigint>"
+    for b, rid in ((0, "a"), (1, "b"), (2, "c")):
+        _write_store(
+            spark.createDataFrame([(0, 10 + b, rid, [b])], schema), state, b
+        )
+    # checkpoint committed batches 0 and 1 only — batch 2 was written
+    # but its commit never landed (crash window): it WILL be replayed
+    os.makedirs(f"{ckpt}/commits")
+    for c in ("0", "1"):
+        open(f"{ckpt}/commits/{c}", "w").write("v1")
+
+    assert compact_signature_store(spark, state, checkpoint_dir=ckpt) == 1
+    batch_dirs = {
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{state}/pt=*/batch_id=*")
+    }
+    assert batch_dirs == {"1", "2"}  # 0 merged into 1; 2 untouched
+    rows = {(r["id"], r["batch_id"]) for r in spark.read.parquet(state).collect()}
+    assert rows == {("a", 1), ("b", 1), ("c", 2)}
+    # a replayed batch 2 reads strictly-older history: both merged rows
+    # visible, its own rows invisible
+    older = spark.read.parquet(state).filter("batch_id < 2")
+    assert {r["id"] for r in older.collect()} == {"a", "b"}
+    # without commits covering anything, nothing is compacted
+    state2 = str(tmp_path / "state2")
+    for b in (0, 1):
+        _write_store(
+            spark.createDataFrame([(0, b, f"x{b}", [b])], schema), state2, b
+        )
+    assert (
+        compact_signature_store(
+            spark, state2, checkpoint_dir=str(tmp_path / "nockpt")
+        )
+        == -1
+    )
+    assert len({
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{state2}/pt=*/batch_id=*")
+    }) == 2
+
+
+def test_streaming_auto_compaction_bounds_store_directories(spark, tmp_path):
+    """A long-lived stream with compact_batches=2 keeps the store's
+    batch-directory count bounded across restarts (auto-compaction at
+    stream start), survives a mid-matrix replay, and still suppresses a
+    near-dup of a batch-0 vector arriving after several compactions."""
+    import glob
+    import os
+    import time
+
+    import numpy as np
+
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_unique_embeddings,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=dim)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        q = incremental_unique_embeddings(
+            spark,
+            in_dir,
+            out_dir,
+            ckpt,
+            state,
+            dim=dim,
+            threshold=0.95,
+            compact_batches=2,
+        )
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+
+    def n_batch_dirs():
+        return len(
+            {d.rsplit("=", 1)[1] for d in glob.glob(f"{state}/pt=*/batch_id=*")}
+        )
+
+    write([(0, base), (1, rng.normal(size=dim))])
+    run()
+    for w in range(2, 5):
+        write([(10 * w, rng.normal(size=dim))])
+        run()
+        # auto-compaction ran at stream start: committed history is one
+        # merged partition + at most the batch(es) started since
+        assert n_batch_dirs() <= 2, n_batch_dirs()
+
+    # mid-matrix replay: drop the last commit (crash before commit);
+    # restart triggers compaction AND replay together
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    ids_after_replay = {
+        int(r["id"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ids_after_replay == {0, 1, 20, 30, 40}
+
+    # near-copy of the batch-0 vector, several compactions later
+    near = base + rng.normal(scale=0.01, size=dim)
+    write([(99, near), (100, rng.normal(size=dim))])
+    run()
+    ids = {int(r["id"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ids == {0, 1, 20, 30, 40, 100}  # 99 suppressed
+    assert n_batch_dirs() <= 2
