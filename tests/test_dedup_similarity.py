@@ -359,6 +359,12 @@ def test_cosine_topk_join(spark):
         assert len(rows) == 4
         assert rows[0]["id"] == qid  # rank 1 is self
         assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4]
+    # the no-broadcast shape (query sets too large to broadcast) must
+    # return identical rows
+    plain = cosine_topk_join(emb, queries, k=4, broadcast_queries=False)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in plain.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in got)
 
 
 def test_ivf_topk_recall(spark):
