@@ -177,9 +177,10 @@ def ivf_index(
         # a quantizer needs at least n_centroids training vectors; a tiny
         # corpus (or a fraction tuned for a bigger one) can hash-sample
         # fewer, and KMeans then fails with an opaque Breeze error or
-        # silently fits a degenerate codebook. The count is one cheap job
-        # at INDEX BUILD time, not on the serving path.
-        if fit_src.count() < n_centroids:
+        # silently fits a degenerate codebook. The bounded limit-count
+        # short-circuits once n_centroids sample rows are found — it
+        # never scans the full corpus at index build.
+        if fit_src.limit(n_centroids).count() < n_centroids:
             import warnings
 
             warnings.warn(
@@ -290,7 +291,8 @@ def ivf_topk_join(
     (right for online batches); False repartitions index and probes by
     ``cell`` instead — the offline path for probe sets too large to
     broadcast (an all-pairs-style query DataFrame). None (default) picks
-    automatically: one cheap ``count()`` of the query set, broadcast iff
+    automatically with a BOUNDED limit-count of the query set (stops
+    scanning once the limit is provably exceeded): broadcast iff
     ``n_queries * n_probe <= broadcast_limit`` rows. Both shapes return
     identical rows; the shuffle shape adds a cell-keyed exchange on each
     side, and a hot cell there is ordinary join skew (AQE splits it).
@@ -322,7 +324,11 @@ def ivf_topk_join(
         .select("query_id", "q_vec", "cell")
     )
     if broadcast_queries is None:
-        broadcast_queries = q.count() * n_probe <= broadcast_limit
+        # bounded decision probe: limit-count short-circuits after
+        # ~broadcast_limit/n_probe rows, so a huge offline query set
+        # never pays a full scan just to learn it is over the limit
+        cap = broadcast_limit // max(n_probe, 1) + 1
+        broadcast_queries = q.limit(cap).count() * n_probe <= broadcast_limit
     if broadcast_queries:
         joined = index.join(F.broadcast(probes), "cell")
     else:

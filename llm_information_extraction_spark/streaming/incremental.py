@@ -228,11 +228,18 @@ def _check_store_layout(
             fs.open(marker), bos, 4096, True
         )
         existing = json.loads(bos.toString("UTF-8"))
-        if existing != layout:
+        # a key that is ABSENT and a key whose requested value is None
+        # both mean "feature off / legacy geometry": normalize so adding
+        # an optional parameter in a later version never bricks stores
+        # whose geometry is byte-compatible (callers only put a key in
+        # the layout when it changes the stored rows)
+        norm_existing = {k: v for k, v in existing.items() if v is not None}
+        norm_layout = {k: v for k, v in layout.items() if v is not None}
+        if norm_existing != norm_layout:
             diffs = {
-                k: (existing.get(k), layout.get(k))
-                for k in set(existing) | set(layout)
-                if existing.get(k) != layout.get(k)
+                k: (existing.get(k, "<absent>"), layout.get(k, "<absent>"))
+                for k in set(norm_existing) | set(norm_layout)
+                if norm_existing.get(k) != norm_layout.get(k)
             }
             raise ValueError(
                 "state store at "
@@ -285,8 +292,9 @@ def _auto_compact(
     runs unattended. The directory count grows with BATCHES, not rows;
     without compaction a long-lived stream accumulates
     O(batches · pt-space) directories and listing cost creeps into every
-    pruned read."""
-    if compact_batches is None:
+    pruned read. ``None`` or ``0`` disables (matching the CLI contract —
+    a threshold of 0 must not mean "compact on every start")."""
+    if not compact_batches:
         return
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -367,9 +375,9 @@ def incremental_fuzzy_unique_documents(
     estimate averages ALL slots. At the default 256 the stderr near a
     0.8 threshold falls from ≈0.05 to ≈0.025; measured on planted pairs
     (``tools/measure_minhash_fp.py``, table in
-    ``BENCH/streaming_store.md``) the false-drop rate at true J = 0.7
-    goes from percent-level to zero in 3000 trials (binomial tail
-    ≈ 2×10⁻⁴). The cost is store size — ``bands · verify_hashes`` longs
+    ``BENCH/streaming_store.md``) the false-drop rate at true J = 0.714
+    goes from 2.7% of colliding pairs to 0 in 300 trials (binomial tail
+    ≈ 1×10⁻³). The cost is store size — ``bands · verify_hashes`` longs
     per surviving doc (32 KB at defaults vs 8 KB) — still ≪ corpus;
     set ``verify_hashes=None`` to keep the 64-slot store when that
     false-drop rate is acceptable. Callers needing EXACT-Jaccard
@@ -404,6 +412,10 @@ def incremental_fuzzy_unique_documents(
             f"{num_hashes} (bands hash the signature's first num_hashes "
             "slots; a shorter verify signature cannot contain them)"
         )
+    if verify_hashes == num_hashes:
+        # identical geometry to "no verify signature" — normalize so the
+        # store layout marker treats them as the same store
+        verify_hashes = None
     sig_len = verify_hashes or num_hashes
 
     stream = (

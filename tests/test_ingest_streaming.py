@@ -541,6 +541,53 @@ def test_streaming_store_layout_mismatch_fails_fast(spark, tmp_path):
         _check_store_layout(
             spark, state, {**layout, "store_partitions": 8}
         )
+    # an optional parameter added in a later version must NOT brick a
+    # legacy store when it is off (None == absent)...
+    _check_store_layout(spark, state, {**layout, "verify_hashes": None})
+    # ...and when it IS on, the error must name the absent side
+    with pytest.raises(ValueError, match="<absent>.*256|256.*<absent>"):
+        _check_store_layout(spark, state, {**layout, "verify_hashes": 256})
+
+
+def test_streaming_fuzzy_verify_equal_to_num_hashes_is_legacy_geometry(
+    spark, tmp_path
+):
+    """verify_hashes == num_hashes produces byte-identical stores to
+    verify_hashes=None: a store built with one must reopen with the
+    other (the layout marker normalizes both to 'no verify signature')."""
+    import time
+
+    from llm_information_extraction_spark.sources.synthetic import (
+        DOCUMENTS_SCHEMA,
+    )
+    from llm_information_extraction_spark.streaming.incremental import (
+        incremental_fuzzy_unique_documents,
+    )
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [_span_doc("a", "alpha beta gamma delta epsilon zeta")],
+        DOCUMENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(vh):
+        q = incremental_fuzzy_unique_documents(
+            spark,
+            in_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "state"),
+            verify_hashes=vh,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+
+    run(None)
+    run(64)  # == num_hashes default: same geometry, must reopen cleanly
 
 
 def test_compact_signature_store_edge_cases(spark, tmp_path):
@@ -617,6 +664,17 @@ def test_compact_checkpoint_aware_spares_uncommitted_batch(spark, tmp_path):
         )
         == -1
     )
+    assert len({
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{state2}/pt=*/batch_id=*")
+    }) == 2
+    # compact_batches=0 means DISABLED (CLI contract), never
+    # "compact on every start"
+    from llm_information_extraction_spark.streaming.incremental import (
+        _auto_compact,
+    )
+
+    _auto_compact(spark, state2, str(tmp_path / "nockpt"), 0)
+    _auto_compact(spark, state2, str(tmp_path / "nockpt"), None)
     assert len({
         d.rsplit("=", 1)[1] for d in glob.glob(f"{state2}/pt=*/batch_id=*")
     }) == 2
