@@ -323,13 +323,32 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    row_wise: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>) via explode → hash → 64 min-aggregates.
 
     The whole computation is codegen'd: one shuffle keyed by id with
     map-side combine (each partition pre-reduces to one row per id).
     Same hash family as :func:`minhash_signature`.
+
+    ``row_wise=True`` computes the SAME values with the per-row HOF
+    expression instead (zero shuffle, but interpreted per element):
+    identical shingles (``word_shingles`` feeds both) and identical hash
+    family make the two paths value-equal, so the choice is purely a
+    performance knob. Measured crossover (round 3 + round 5, local[32],
+    warm): row-wise is ~3.5× faster on short documents (0.33 s vs
+    1.2 s on sf0.1's ~50-word docs — per-row overhead dominates), while
+    explode+agg wins on large payloads (18.4 s vs 20.7 s on a 400k-doc
+    larger-doc corpus) and stays the default — at 100 TB web scale the
+    per-shingle work is what must stay in codegen.
     """
+    if row_wise:
+        return df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(
+                word_shingles(text_col, n), num_hashes, seed
+            ).alias("sig"),
+        )
     return _signatures_from_tokens(
         _doc_tokens(df, id_col, text_col, n), num_hashes, seed
     )
@@ -376,6 +395,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    row_wise: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 
@@ -389,7 +409,9 @@ def minhash_candidate_pairs(
     """
     # cache: the banded self-join consumes this twice (both sides); one
     # row per doc, so the footprint is tiny relative to the corpus
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, row_wise
+    ).cache()
     banded = _banded_buckets(sig, num_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -410,6 +432,7 @@ def minhash_verified_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    row_wise: bool = False,
 ) -> DataFrame:
     """Banded candidates verified by EXACT n-gram Jaccard →
     (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
@@ -425,7 +448,7 @@ def minhash_verified_pairs(
     configuration the driver oracle pins.
     """
     cands = minhash_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands, seed
+        df, id_col, text_col, n, num_hashes, bands, seed, row_wise
     ).cache()
     # only candidate-involved docs need their shingles re-derived: the
     # candidate id set is usually O(dup_rate·n) ≪ corpus, so the semi
@@ -475,6 +498,7 @@ def minhash_dedup_groups(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    row_wise: bool = False,
 ) -> DataFrame:
     """Near-duplicate clusters: MinHash banding → exact Jaccard verify →
     connected components. Returns (doc_id, group_id); group_id = min id
@@ -482,7 +506,7 @@ def minhash_dedup_groups(
     from .canonicalize import connected_components
 
     verified = minhash_verified_pairs(
-        df, id_col, text_col, n, num_hashes, bands, threshold, seed
+        df, id_col, text_col, n, num_hashes, bands, threshold, seed, row_wise
     ).select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
@@ -503,6 +527,7 @@ def minhash_dedup_groups_fast(
     seed: int = 42,
     verify_threshold: float | None = None,
     max_shingle_doc_freq: float | None = None,
+    row_wise: bool = False,
 ) -> DataFrame:
     """Near-dup clusters for corpora with LARGE duplicate clusters —
     the web-scale production path.
@@ -540,8 +565,12 @@ def minhash_dedup_groups_fast(
     from .canonicalize import connected_components
 
     if max_shingle_doc_freq is None:
-        sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+        sig = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, row_wise
+        )
     else:
+        # stop-shingle filtering needs the exploded token table, so the
+        # row-wise flavor does not apply on this branch
         sig = _signatures_from_tokens(
             drop_frequent_shingles(
                 _doc_tokens(df, id_col, text_col, n), max_shingle_doc_freq

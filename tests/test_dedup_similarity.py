@@ -114,6 +114,38 @@ def test_minhash_dedup_groups_fast_matches_pairwise(dup_corpus):
     assert all(loose[k] == v for k, v in pairwise.items())
 
 
+def test_minhash_row_wise_signatures_value_equal(spark):
+    """The per-row HOF signature and the explode+agg signature must be
+    VALUE-IDENTICAL (same shingles, same hash family) — row_wise is a
+    pure performance knob, so dedup groups must also coincide."""
+    from llm_information_extraction_spark.operators.dedup import (
+        minhash_dedup_groups,
+        minhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    agg = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(d, "doc_id", "text").collect()
+    }
+    hof = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(
+            d, "doc_id", "text", row_wise=True
+        ).collect()
+    }
+    assert agg == hof and len(agg) == d.count()
+    groups_agg = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in minhash_dedup_groups(d, threshold=0.5).collect()
+    )
+    groups_hof = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in minhash_dedup_groups(d, threshold=0.5, row_wise=True).collect()
+    )
+    assert groups_agg == groups_hof and groups_agg
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee: a shared token run of length ≥ window+n−1
     yields ≥1 shared fingerprint; disjoint docs share none."""
