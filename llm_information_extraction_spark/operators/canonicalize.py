@@ -86,15 +86,56 @@ def _edge_stats(e: DataFrame) -> tuple:
     return (row["n"], row["chk"])
 
 
+def _local_components(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a BOUNDED edge list (the small-graph
+    fast path of :func:`connected_components`). Min-root union keeps
+    every set's root at its lexicographically smallest node id, so the
+    output is identical to the distributed large-star/small-star result:
+    (node, component = min id in the component)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src string, dst string) → (node string, component string).
 
     component = min node id in the component. Isolated nodes (no edges)
     are the caller's concern — join the result back with a coalesce.
+
+    ``local_threshold``: a graph with at most this many DISTINCT edges
+    is solved by driver-side union-find instead of the iterative
+    star-contraction loop. Each distributed round costs several
+    shuffles plus a checkpoint, which only pays off on graphs too big
+    to hold in driver memory; below the threshold (100k edges ≈ a few
+    MB of short ids — broadcast-build scale, not a corpus collect) the
+    local path returns identical components in milliseconds. The check
+    is a bounded ``limit(threshold+1)`` read of the already-materialized
+    canonical edge set, so huge graphs pay one short-circuiting scan,
+    not a count. 0 disables (always iterate — used by tests to pin the
+    distributed path).
 
     ``checkpoint_dir``: when set (a cluster-visible path, e.g. HDFS/S3),
     per-round lineage truncation uses reliable ``checkpoint()`` instead of
@@ -120,6 +161,11 @@ def connected_components(
     if e.isEmpty():
         spark = edges.sparkSession
         return spark.createDataFrame([], "node string, component string")
+
+    if local_threshold:
+        head = e.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _local_components(edges.sparkSession, head)
 
     prev_stats = _edge_stats(e)
     for _ in range(max_iterations):

@@ -25,7 +25,7 @@ def test_long_path_converges(spark):
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)],
         "src string, dst string",
     )
-    comps = connected_components(edges)
+    comps = connected_components(edges, local_threshold=0)
     assert comps.select("component").distinct().count() == 1
     assert comps.count() == 30
     assert comps.agg(F.min("component")).collect()[0][0] == "n00"
@@ -102,8 +102,32 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
     }
     reliable = {
         (r["node"], r["component"])
-        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            edges, checkpoint_dir=ckpt, local_threshold=0
+        ).collect()
     }
     assert reliable == local
     import os
     assert os.listdir(ckpt)  # checkpoint files actually landed on disk
+
+
+def test_cc_local_fast_path_matches_iterative(spark):
+    """The driver-side union-find fast path must return exactly the
+    distributed star-contraction result on an arbitrary graph (chains,
+    a star, duplicate and reversed edges, isolated pair)."""
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)]
+    edges += [("hub", f"leaf{i}" ) for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    iterative = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == iterative and local
