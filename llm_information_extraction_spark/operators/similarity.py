@@ -146,8 +146,15 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids + per-vector cell id.
+
+    ``max_iter`` bounds the k-means refinement passes (each is a full
+    job over the fit set) — the quantizer build budget, as in standard
+    IVF implementations. Fewer iterations only shift cell BOUNDARIES:
+    recall at a given n_probe may change, exactness at
+    n_probe == n_centroids never does.
 
     Returns (assignments(id, v, cell), centroids). The index DataFrame
     should be persisted/bucketed by ``cell`` at scale so probes prune
@@ -192,7 +199,9 @@ def ivf_index(
             fit_src = src
     else:
         fit_src = src
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fit_src)
+    km = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(fit_src)
     assigned = km.transform(src).select(
         "id", "v", F.col("prediction").alias("cell")
     )
