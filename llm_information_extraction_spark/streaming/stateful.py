@@ -199,3 +199,73 @@ def sessionize_users(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_windows(
+    events,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """BATCH gap-based sessionization — the backfill/replay counterpart
+    of :func:`sessionize_users` (same 30-minute-gap semantics at the
+    default): one row per session with start/end/count/value-total.
+
+    Pure DataFrame shape, ONE shuffle: a per-user window marks rows
+    whose gap from the previous event exceeds ``gap_seconds`` (exact
+    integer-microsecond arithmetic, strictly-greater — the streaming
+    sessionizer's rule; no floating-point boundary flips), a running
+    sum of those marks numbers the sessions, and the session aggregate
+    groups on
+    (user, session_seq) — already co-located by the window's hash
+    partitioning on user, so Catalyst adds no second exchange. Ordering
+    ties on ts break by any residual column order; session membership is
+    order-independent for equal timestamps (a zero gap never opens a
+    session).
+
+    ``total_value`` sums decimal(18,2)-cast values so the result is
+    bit-deterministic under any aggregation order (the contract-oracle
+    convention); returned as double.
+    """
+    from pyspark.sql.window import Window
+
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    # the open flag must be a materialized column: a lag-window nested
+    # inside the running-sum window is invalid. Both window expressions
+    # share the (user_id, ts) sort, so Catalyst plans ONE exchange+sort.
+    # The running sum's default RANGE frame makes tied timestamps peers
+    # — a row tied with its session opener lands in that session
+    # regardless of tie order (DuckDB's default frame agrees).
+    flagged = src.withColumn(
+        "opens",
+        F.when(
+            prev.isNull()
+            # timestamp subtraction yields a day-time interval (exact
+            # integer microseconds, works for TIMESTAMP and
+            # TIMESTAMP_NTZ alike — unix_micros rejects NTZ)
+            | (
+                (F.col("ts") - prev)
+                > F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("opens").over(w))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )

@@ -142,3 +142,62 @@ def test_sessionize_late_event_pulls_session_start_back(spark, tmp_path):
     assert s7["n_events"] == 2 and s7["total_value"] == 3.0
     assert s7["session_start"].time().isoformat() == "10:07:00"
     assert s7["session_end"].time().isoformat() == "10:10:00"
+
+
+def test_session_windows_batch_matches_streaming_semantics(spark):
+    """The batch sessionizer (backfill path) applies the SAME 30-min-gap
+    rule as the streaming stateful operator: on the corpus of
+    test_sessionize_users_event_time_timeout it reproduces the closed
+    sessions of users 7 and 8 exactly, plus user 99's still-open one
+    (batch sees the whole history, so every session is emitted)."""
+    from llm_information_extraction_spark.streaming.stateful import (
+        session_windows,
+    )
+
+    events = spark.createDataFrame(
+        [
+            _ev(1, 1000, 7, "click", 1.0),
+            _ev(2, 1002, 7, "view", 2.0),
+            _ev(3, 1005, 7, "click", 3.0),
+            _ev(4, 1001, 8, "view", 5.0),
+            _ev(5, 1300, 99, "click", 0.0),
+            _ev(6, 1310, 99, "click", 0.0),
+            # a second user-7 session, two hours later
+            _ev(7, 1200, 7, "view", 4.0),
+        ],
+        EVENTS_SCHEMA,
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_windows(events).collect()
+    }
+    assert set(out) == {(7, 1), (7, 2), (8, 1), (99, 1)}
+    s71 = out[(7, 1)]
+    assert s71["n_events"] == 3 and s71["total_value"] == 6.0
+    assert s71["session_start"].time().isoformat() == "10:00:00"
+    assert s71["session_end"].time().isoformat() == "10:05:00"
+    assert out[(7, 2)]["n_events"] == 1
+    assert out[(8, 1)]["total_value"] == 5.0
+    assert out[(99, 1)]["n_events"] == 2
+
+    # exactly a 30-minute gap does NOT open a session (strictly greater
+    # — the streaming sessionizer's rule), one microsecond more does
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    tight = spark.createDataFrame(
+        [
+            (1, base, 1, "a", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=30), 1, "a", 1.0, "{}"),
+            (3, base + dt.timedelta(minutes=60, microseconds=1), 1, "a", 1.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    )
+    seqs = sorted(
+        r["session_seq"] for r in session_windows(tight).collect()
+    )
+    assert seqs == [1, 2]  # first two merge; the +1us gap splits
+
+    # ONE exchange total: the session aggregate reuses the window's
+    # hash partitioning on user_id (no second shuffle)
+    plan = session_windows(events)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
