@@ -72,6 +72,8 @@ HEADLINE = [
     "contaminated_train_docs",
     # round-4 additions
     "ivf_topk_join_emb",
+    # round-5 additions
+    "user_sessions",
 ]
 
 
