@@ -71,3 +71,36 @@ def hash_split(
         else F.lit(names[-1])
     )
     return df.withColumn(out_col, expr)
+
+
+def stratified_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-weighted corpus mixing: keep each group's rows at that
+    group's own deterministic hash-sample rate — the data-mixing step of
+    a training pipeline (upweight curated sources, downweight crawl)
+    expressed as ONE narrow codegen filter: no shuffle, no per-group
+    jobs, and membership is a pure function of (key, salt) so a document
+    keeps its fate across reruns, partitionings, and corpus growth
+    (same md5 primitive as :func:`hash_sample`; any engine replays it).
+
+    Groups absent from ``rates`` keep ``default_rate`` of their rows
+    (0.0 = dropped entirely). Rates must lie in [0, 1]: sampling cannot
+    upweight beyond a group's size — replicate rows explicitly if an
+    over-1.0 epoch mix is wanted, so the duplication is visible in the
+    plan rather than hidden in a sampler.
+    """
+    for g, r in list(rates.items()) + [("<default>", default_rate)]:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    rate = F.lit(float(default_rate))
+    for g, r in rates.items():
+        rate = F.when(F.col(group_col) == F.lit(g), F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(hash_uniform(key_col, salt) < rate)

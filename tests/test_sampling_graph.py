@@ -59,6 +59,45 @@ def test_hash_split_validates_weights(spark):
         hash_split(d, {"a": 0.5, "b": 0.1})
 
 
+def test_stratified_mixture_rates_and_determinism(spark):
+    """Data-mixing: each group sampled at ITS rate, membership stable
+    across partitionings, absent groups at default_rate (0 = dropped),
+    invalid rates rejected."""
+    from llm_information_extraction_spark.functions.sampling import (
+        stratified_mixture,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5}
+    out = stratified_mixture(
+        d, rates, group_col="source", salt="t", default_rate=0.0
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_src) == {"src0", "src1"}  # default 0 drops the rest
+    assert by_src["src0"] == totals["src0"]  # rate 1.0 keeps everything
+    assert 0 < by_src["src1"] < totals["src1"]  # rate 0.5 thins
+    # partitioning-independent membership
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_mixture(
+            d.repartition(13), rates, group_col="source", salt="t"
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="must be in \\[0,1\\]"):
+        stratified_mixture(d, {"src0": 1.5}, group_col="source")
+    with pytest.raises(ValueError, match="must be in \\[0,1\\]"):
+        stratified_mixture(d, {}, group_col="source", default_rate=-0.1)
+
+
 def test_co_mention_edges_and_degrees(spark):
     mentions = spark.createDataFrame(
         [
