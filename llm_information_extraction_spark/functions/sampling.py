@@ -104,3 +104,34 @@ def stratified_mixture(
             rate
         )
     return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def epoch_replicate(
+    df: DataFrame,
+    epochs: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional-epoch replication — the >1.0 half of
+    data mixing (:func:`stratified_mixture` covers rates ≤ 1): every
+    row appears ``floor(epochs)`` times, plus once more for the
+    hash-selected ``epochs − floor(epochs)`` fraction of keys. Adds
+    ``out_col`` (0-based copy index) so downstream shuffles spread the
+    copies and training code can salt per-epoch transforms.
+
+    Replication is explicit row multiplication in the plan (an explode
+    over a per-row sequence — no join, no shuffle), and the copy count
+    is a pure function of (key, salt): re-runs rebuild the identical
+    mixture. ``epochs`` in [0, ∞); 0 keeps nothing.
+    """
+    if epochs < 0:
+        raise ValueError(f"epochs must be >= 0, got {epochs}")
+    whole = int(epochs)
+    frac = float(epochs) - whole
+    k = F.lit(whole) + (hash_uniform(key_col, salt) < F.lit(frac)).cast("int")
+    # sequence(0, -1) would DESCEND in Spark — guard k = 0 explicitly
+    copies = F.when(k > 0, F.sequence(F.lit(0), k - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(out_col, F.explode(copies))

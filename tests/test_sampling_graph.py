@@ -98,6 +98,43 @@ def test_stratified_mixture_rates_and_determinism(spark):
         stratified_mixture(d, {}, group_col="source", default_rate=-0.1)
 
 
+def test_epoch_replicate_fractional_epochs(spark):
+    """2.4 epochs: every key gets 2 or 3 copies (0-based epoch index),
+    ~40% get the third, the copy count is partitioning-independent;
+    whole/zero/negative epochs behave exactly."""
+    from llm_information_extraction_spark.functions.sampling import (
+        epoch_replicate,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+    out = epoch_replicate(d, 2.4, salt="e")
+    per_key = {
+        r["doc_id"]: r["k"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("k")).collect()
+    }
+    assert len(per_key) == n and set(per_key.values()) == {2, 3}
+    n3 = sum(1 for k in per_key.values() if k == 3)
+    assert 0.3 * n < n3 < 0.5 * n  # ~40%, loose bound at n=500
+    assert {r["epoch"] for r in out.select("epoch").distinct().collect()} == {
+        0,
+        1,
+        2,
+    }
+    per_key2 = {
+        r["doc_id"]: r["k"]
+        for r in epoch_replicate(d.repartition(13), 2.4, salt="e")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .collect()
+    }
+    assert per_key2 == per_key  # copy count pure in (key, salt)
+    assert epoch_replicate(d, 1.0).count() == n
+    assert epoch_replicate(d, 0.0).count() == 0
+    with pytest.raises(ValueError, match="epochs must be >= 0"):
+        epoch_replicate(d, -1.0)
+
+
 def test_co_mention_edges_and_degrees(spark):
     mentions = spark.createDataFrame(
         [
