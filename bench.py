@@ -223,7 +223,17 @@ def _render_baseline_md() -> None:
         f"**speedup {lo}→{hi} cores: {s['speedup']}× "
         f"— scaling efficiency {s['scaling_efficiency']} "
         "(target ≥ 0.8)**\n\n"
-        f"Why N={lo}: beyond ~8-16 threads this VM's vCPUs are SMT-shared "
+        + (
+            "An efficiency above 1.0 is not superlinearity — it means the "
+            f"{lo}-core baseline of this measurement ran slower than the "
+            "machine's best (same-day repeats of the low-parallelism level "
+            "vary ~±10% on this VM while the wider levels hold steady; "
+            "round 4 measured 0.945 on the identical code path). Read it "
+            "as \"≥ 0.95\".\n\n"
+            if s["scaling_efficiency"] > 1.0
+            else ""
+        )
+        + f"Why N={lo}: beyond ~8-16 threads this VM's vCPUs are SMT-shared "
         "— a pure-Python busy-loop control experiment reaches only ~3.0x "
         "aggregate throughput going 8→32 processes, so wider pairs "
         "measure the hardware ceiling, not the pipeline. The pipeline "

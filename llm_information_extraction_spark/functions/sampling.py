@@ -21,9 +21,16 @@ def hash_uniform(col: Column | str, salt: str = "") -> Column:
     """Deterministic uniform [0,1) from a key column (+ salt).
 
     Change the salt to draw an independent sample from the same corpus.
+    NULL keys hash as the sentinel string ``<null>`` (every null-key
+    row shares one draw per salt) — without the coalesce the md5 would
+    be NULL, every comparison three-valued-unknown, and null-key rows
+    would silently vanish from samples, splits, mixtures, and
+    replications regardless of rate.
     """
     c = F.col(col) if isinstance(col, str) else col
-    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    h = F.md5(
+        F.concat(F.coalesce(c.cast("string"), F.lit("<null>")), F.lit(salt))
+    )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(
         float(2**32)
     )

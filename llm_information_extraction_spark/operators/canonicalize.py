@@ -165,6 +165,11 @@ def connected_components(
     if local_threshold:
         head = e.limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
+            # the checkpointed edge blocks have no reader after this
+            # point — release them now (streaming dedup calls CC every
+            # micro-batch; waiting for driver GC would accumulate one
+            # materialized edge set per batch in the block manager)
+            e.unpersist()
             return _local_components(edges.sparkSession, head)
 
     prev_stats = _edge_stats(e)

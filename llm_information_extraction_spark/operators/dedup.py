@@ -537,6 +537,9 @@ def minhash_dedup_groups_fast(
     (the chaining cause); a document whose every shingle is
     corpus-frequent carries no distinctive content and is left
     unclustered (run exact fingerprint dedup first — KGPipeline does).
+    Stop-shingle filtering needs the exploded token table, so
+    ``row_wise`` is IGNORED on that branch (the per-row signature
+    cannot see corpus-level shingle frequencies).
 
     The pairwise path (:func:`minhash_dedup_groups`) enumerates candidate
     PAIRS, which is Θ(Σ cluster²): one 14k-copy boilerplate cluster alone

@@ -213,11 +213,15 @@ def session_windows(
     default): one row per session with start/end/count/value-total.
 
     Pure DataFrame shape, ONE shuffle: a per-user window marks rows
-    whose gap from the previous event exceeds ``gap_seconds`` (exact
-    integer-microsecond arithmetic, strictly-greater — the streaming
-    sessionizer's rule; no floating-point boundary flips), a running
-    sum of those marks numbers the sessions, and the session aggregate
-    groups on
+    whose gap from the previous event exceeds ``gap_seconds`` —
+    strictly-greater over MILLISECOND-truncated timestamps, which is
+    exactly the streaming sessionizer's rule (it compares millisecond
+    ints), so backfill and stream assign identical session membership;
+    no floating-point boundary flips (pure integer interval
+    arithmetic). Output start/end keep the events' full microsecond
+    precision (the streaming emitter rounds its output to ms — the one
+    cosmetic difference). A running sum of the marks numbers the
+    sessions, and the session aggregate groups on
     (user, session_seq) — already co-located by the window's hash
     partitioning on user, so Catalyst adds no second exchange. Ordering
     ties on ts break by any residual column order; session membership is
@@ -248,10 +252,18 @@ def session_windows(
         F.when(
             prev.isNull()
             # timestamp subtraction yields a day-time interval (exact
-            # integer microseconds, works for TIMESTAMP and
-            # TIMESTAMP_NTZ alike — unix_micros rejects NTZ)
+            # integer arithmetic, works for TIMESTAMP and TIMESTAMP_NTZ
+            # alike — unix_micros rejects NTZ). Timestamps are
+            # ms-TRUNCATED first because the streaming sessionizer
+            # compares millisecond ints (_session_fn's ns // 1e6):
+            # session membership must agree between backfill and stream,
+            # so a sub-millisecond excess over the gap does NOT split
+            # in either path
             | (
-                (F.col("ts") - prev)
+                (
+                    F.date_trunc("millisecond", F.col("ts"))
+                    - F.date_trunc("millisecond", prev)
+                )
                 > F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
             ),
             1,

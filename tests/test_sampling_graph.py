@@ -59,6 +59,27 @@ def test_hash_split_validates_weights(spark):
         hash_split(d, {"a": 0.5, "b": 0.1})
 
 
+def test_hash_uniform_null_keys_share_one_draw(spark):
+    """NULL keys must not silently vanish: they hash as a sentinel, so
+    every null-key row shares one deterministic draw per salt — kept or
+    dropped together, and epoch_replicate still grants whole copies."""
+    from llm_information_extraction_spark.functions.sampling import (
+        epoch_replicate,
+        hash_sample,
+        hash_uniform,
+    )
+
+    d = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "doc_id bigint, text string"
+    )
+    u = d.select(hash_uniform("doc_id", "s").alias("u")).collect()
+    assert all(r["u"] is not None for r in u)
+    kept = hash_sample(d, 1.0, "doc_id", salt="s")
+    assert kept.count() == 3  # rate 1.0 keeps null-key rows too
+    # whole copies never depend on the fractional draw
+    assert epoch_replicate(d, 2.0, salt="s").count() == 6
+
+
 def test_stratified_mixture_rates_and_determinism(spark):
     """Data-mixing: each group sampled at ITS rate, membership stable
     across partitionings, absent groups at default_rate (0 = dropped),

@@ -180,21 +180,27 @@ def test_session_windows_batch_matches_streaming_semantics(spark):
     assert out[(8, 1)]["total_value"] == 5.0
     assert out[(99, 1)]["n_events"] == 2
 
-    # exactly a 30-minute gap does NOT open a session (strictly greater
-    # — the streaming sessionizer's rule), one microsecond more does
+    # the gap rule is strictly-greater over MILLISECOND-truncated
+    # times — exactly what the streaming sessionizer compares (ms
+    # ints), so backfill and stream agree on membership: an exact
+    # 30-min gap merges, +1us still merges (sub-ms truncated away),
+    # +1ms splits
     base = dt.datetime(2024, 1, 1, 9, 0)
     tight = spark.createDataFrame(
         [
             (1, base, 1, "a", 1.0, "{}"),
             (2, base + dt.timedelta(minutes=30), 1, "a", 1.0, "{}"),
             (3, base + dt.timedelta(minutes=60, microseconds=1), 1, "a", 1.0, "{}"),
+            (4, base + dt.timedelta(minutes=90, milliseconds=1, microseconds=1), 1, "a", 1.0, "{}"),
         ],
         EVENTS_SCHEMA,
     )
-    seqs = sorted(
-        r["session_seq"] for r in session_windows(tight).collect()
-    )
-    assert seqs == [1, 2]  # first two merge; the +1us gap splits
+    sess = {
+        r["session_seq"]: r["n_events"]
+        for r in session_windows(tight).collect()
+    }
+    # only the +1ms gap opens a session: events 1-3 share session 1
+    assert sess == {1: 3, 2: 1}
 
     # ONE exchange total: the session aggregate reuses the window's
     # hash partitioning on user_id (no second shuffle)
