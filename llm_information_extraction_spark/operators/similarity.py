@@ -296,15 +296,33 @@ def ivf_topk_join(
     Spark's float summation on centroid similarities, which can flip
     probe choice only when two centroid sims are within rounding noise.
 
-    ``broadcast_queries``: True forces the broadcast-join serving shape
-    (right for online batches); False repartitions index and probes by
-    ``cell`` instead — the offline path for probe sets too large to
-    broadcast (an all-pairs-style query DataFrame). None (default) picks
-    automatically with a BOUNDED limit-count of the query set (stops
-    scanning once the limit is provably exceeded): broadcast iff
-    ``n_queries * n_probe <= broadcast_limit`` rows. Both shapes return
-    identical rows; the shuffle shape adds a cell-keyed exchange on each
-    side, and a hot cell there is ordinary join skew (AQE splits it).
+    ``broadcast_queries``: True forces the broadcast serving shape
+    (right for online batches): the probe set (bounded — it is broadcast
+    scale by definition of this branch) is collected once, grouped by
+    cell into dense query matrices, and shipped to executors as ONE
+    Spark broadcast; an Arrow-batched ``mapInPandas`` stage then scores
+    each index partition against its cells' query matrices with one
+    float64 BLAS matmul and emits only each partition's per-query
+    top-``k`` candidates (tie-safe: candidates at the k-th score are
+    resolved by id before truncation, so the partial set provably
+    contains the global top-k). The final exact (cosine desc, id asc)
+    window then ranks ~``partitions × queries × k`` candidate rows
+    instead of ``|index| × queries`` scored rows, and the index scan is
+    pre-filtered to the probed cells (against a persisted
+    cell-partitioned index that is static partition PRUNING — stronger
+    than the runtime DPP the former probe-join shape relied on).
+    False repartitions index and probes by ``cell`` instead — the
+    offline path for probe sets too large to broadcast (an
+    all-pairs-style query DataFrame); scoring there stays in
+    expression form. None (default) picks automatically with a BOUNDED
+    limit-count of the query set (stops scanning once the limit is
+    provably exceeded): broadcast iff ``n_queries * n_probe <=
+    broadcast_limit`` rows. Both shapes return identical rows up to
+    last-ulp float summation differences (BLAS vs sequential
+    expression sum — the same tolerance already accepted between this
+    operator and numpy/DuckDB replicas); the shuffle shape adds a
+    cell-keyed exchange on each side, and a hot cell there is ordinary
+    join skew (AQE splits it).
 
     Returns (query_id, id, cosine, rank ≤ k).
     """
@@ -339,21 +357,132 @@ def ivf_topk_join(
         cap = broadcast_limit // max(n_probe, 1) + 1
         broadcast_queries = q.limit(cap).count() * n_probe <= broadcast_limit
     if broadcast_queries:
-        joined = index.join(F.broadcast(probes), "cell")
+        scored = _blas_probe_candidates(index, probes, k)
     else:
         joined = index.repartition("cell").join(
             probes.repartition("cell"), "cell"
         )
-    scored = joined.select(
-        "query_id",
-        "id",
-        cosine_sim(F.col("v"), F.col("q_vec")).alias("cosine"),
-    )
+        scored = joined.select(
+            "query_id",
+            "id",
+            cosine_sim(F.col("v"), F.col("q_vec")).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def _blas_probe_candidates(
+    index: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
+    """(query_id, id, cosine) candidate rows for the broadcast serving
+    shape of :func:`ivf_topk_join` — guaranteed to contain every query's
+    exact top-``k`` under (cosine desc, id asc).
+
+    The probe set is broadcast scale by contract, so it is collected
+    once, grouped by cell into dense float64 matrices and shipped via
+    one ``sc.broadcast`` (the same driver-side build a broadcast hash
+    join performs). Scoring runs per index partition as one BLAS matmul
+    per (batch, cell) in ``mapInPandas`` — the O(n·q·d) flops run in
+    native code instead of one interpreted higher-order aggregate per
+    (index row, query) pair, and only per-partition top-k candidates
+    flow into the final window (bounded by partitions·queries·k rows
+    rather than |index|·queries). The index scan is pre-filtered to the
+    probed cells, so a persisted cell-partitioned index prunes unprobed
+    partitions statically.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = index.sparkSession
+    out_schema = StructType(
+        [
+            StructField(
+                "query_id", probes.schema["query_id"].dataType, True
+            ),
+            StructField("id", index.schema["id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    # bounded collect: |probes| = n_queries · n_probe ≤ broadcast_limit
+    # rows on this branch — the identical driver footprint the former
+    # F.broadcast(probes) hash relation had
+    probe_rows = probes.collect()
+    by_cell: dict = {}
+    for r in probe_rows:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["query_id"], r["q_vec"])
+        )
+    cell_mats = {}
+    for cell, qs in by_cell.items():
+        qids = [qid for qid, _ in qs]
+        qm = np.asarray([v for _, v in qs], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qzero = qn == 0.0
+        qn[qzero] = 1.0
+        cell_mats[cell] = (qids, qm, qn, qzero)
+    bc = spark.sparkContext.broadcast(cell_mats)
+
+    def score(batches):
+        mats = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q: list = []
+            out_i: list = []
+            out_c: list = []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                m = mats.get(cell)
+                if m is None:
+                    continue
+                qids, qm, qn, qzero = m
+                grp = grp[grp["v"].notna()]
+                n = len(grp)
+                if not n:
+                    continue
+                ids = grp["id"].to_numpy()
+                vm = np.asarray(grp["v"].to_list(), dtype=np.float64)
+                vn = np.linalg.norm(vm, axis=1)
+                vzero = vn == 0.0
+                vn[vzero] = 1.0
+                # cosine = dot / (||v|| · ||q||); zero-norm → 0.0
+                # (cosine_sim parity)
+                sims = (vm @ qm.T) / (vn[:, None] * qn[None, :])
+                if vzero.any():
+                    sims[vzero, :] = 0.0
+                if qzero.any():
+                    sims[:, qzero] = 0.0
+                for j, qid in enumerate(qids):
+                    col = sims[:, j]
+                    if n > k:
+                        # tie-safe partial top-k: keep EVERY row at or
+                        # above the k-th score, then order by
+                        # (score desc, id asc) and truncate — the kept
+                        # set contains the global top-k by construction
+                        thr = np.partition(col, n - k)[n - k]
+                        cand = np.nonzero(col >= thr)[0]
+                    else:
+                        cand = np.arange(n)
+                    sel = cand[np.lexsort((ids[cand], -col[cand]))][:k]
+                    out_q.extend([qid] * len(sel))
+                    out_i.extend(ids[sel])
+                    out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "id": out_i, "cosine": out_c}
+            )
+
+    probed_cells = sorted(by_cell)
+    src = index.select("cell", "id", "v")
+    if probed_cells:
+        src = src.filter(F.col("cell").isin(probed_cells))
+    else:
+        src = src.limit(0)
+    return src.mapInPandas(score, schema=out_schema).select(
+        "query_id", "id", "cosine"
     )
 
 

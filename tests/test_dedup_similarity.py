@@ -586,10 +586,11 @@ def test_ivf_topk_tied_centroids_match_batched_probe_choice(spark):
 
 def test_ivf_topk_join_dynamic_partition_pruning(spark, tmp_path):
     """Batched serving against a PERSISTED cell-partitioned index:
-    Spark's dynamic partition pruning turns the broadcast probe join
-    into a runtime partition filter on the index scan (the 100-TB
-    serving shape needs no hand-written cell collect), and results match
-    the in-memory join exactly."""
+    the broadcast serving shape pre-filters the index scan to the probed
+    cells, which parquet turns into STATIC partition pruning (round 6 —
+    formerly a runtime DPP filter from the probe join; the static
+    literal filter prunes at planning time, strictly earlier), and
+    results match the in-memory path exactly."""
     from llm_information_extraction_spark.operators.similarity import (
         ivf_index,
         ivf_topk_join,
@@ -609,7 +610,9 @@ def test_ivf_topk_join_dynamic_partition_pruning(spark, tmp_path):
     )
     rows = {(r["query_id"], r["rank"]): r["id"] for r in disk.collect()}
     plan = disk._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression(cell" in plan  # DPP on the index scan
+    # the probed-cell literal filter must reach the scan as a partition
+    # filter (static pruning — unprobed cell directories never open)
+    assert "PartitionFilters: [cell" in plan
     mem = ivf_topk_join(index, centroids, queries, k=5, n_probe=2)
     assert rows == {(r["query_id"], r["rank"]): r["id"] for r in mem.collect()}
 
