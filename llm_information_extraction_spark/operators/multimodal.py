@@ -138,8 +138,17 @@ def synth_media(
     ``cell:{seed}:{i}:{row}`` for csv cell values), NOT a numpy RNG, so
     an external engine (the DuckDB oracle) can regenerate the payloads —
     the same portable-hash trick the winnowing fingerprints use.
+
+    Default partitioning is sized to the table: ``min(parallelism,
+    ceil(n/64))`` — a 200-item table on local[32] otherwise spreads 6
+    rows per task across 32 tasks and pays two full rounds of
+    task-scheduling + Python-worker dispatch for microseconds of work
+    (rows are a pure function of ``i``, so partitioning never changes
+    values). Pass ``partitions`` explicitly to override.
     """
-    parts = partitions or spark.sparkContext.defaultParallelism
+    parts = partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, -(-n // 64))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -502,6 +502,15 @@ def embedding_near_dup_pairs_blocked(
     vector B times instead of n times (cross join), and the O(n²·d) flops
     run in BLAS instead of interpreted expression lambdas.
 
+    Block rows carry FLAT columns — (ids array, vecs array<double> of
+    n·d values) — not an array of (id, v) structs: a struct-array cell
+    crosses the Arrow boundary as millions of per-element Python
+    dict/list objects, which round 6 measured as the dominant cost of
+    this operator (~3x the matmul); the flat arrays convert to numpy
+    with one reshape. ``collect_list`` over the two columns inside one
+    aggregate sees rows in the same order, so ids and vectors stay
+    aligned.
+
     Choose num_blocks ≈ sqrt(n·d·8 / 64MB) so a block pair fits in task
     memory.
     """
@@ -529,17 +538,20 @@ def embedding_near_dup_pairs_blocked(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
         )
         .groupBy("block")
-        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.flatten(F.collect_list("v")).alias("vecs"),
+        )
     )
     pairs = (
         blocks.alias("x")
         .crossJoin(blocks.alias("y"))
         .filter(F.col("x.block") <= F.col("y.block"))
         .select(
-            F.col("x.block").alias("block_a"),
-            F.col("y.block").alias("block_b"),
-            F.col("x.items").alias("items_a"),
-            F.col("y.items").alias("items_b"),
+            F.col("x.ids").alias("ids_a"),
+            F.col("x.vecs").alias("vecs_a"),
+            F.col("y.ids").alias("ids_b"),
+            F.col("y.vecs").alias("vecs_b"),
         )
     )
 
@@ -547,22 +559,32 @@ def embedding_near_dup_pairs_blocked(
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for r in pdf.itertuples(index=False):
-                ids_a = np.array([it["id"] for it in r.items_a])
-                ids_b = np.array([it["id"] for it in r.items_b])
-                ma = np.array([it["v"] for it in r.items_a], dtype=np.float64)
-                mb = np.array([it["v"] for it in r.items_b], dtype=np.float64)
+                ids_a = np.asarray(r.ids_a)
+                ids_b = np.asarray(r.ids_b)
+                if not len(ids_a) or not len(ids_b):
+                    continue
+                ma = np.asarray(r.vecs_a, dtype=np.float64).reshape(
+                    len(ids_a), -1
+                )
+                mb = np.asarray(r.vecs_b, dtype=np.float64).reshape(
+                    len(ids_b), -1
+                )
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 na[na == 0] = 1.0
                 nb[nb == 0] = 1.0
                 sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
                 ii, jj = np.where(sims >= threshold)
-                for i, j in zip(ii, jj):
-                    a, b = ids_a[i], ids_b[j]
-                    if a < b:
-                        out_a.append(a); out_b.append(b); out_c.append(sims[i, j])
-                    elif b < a:
-                        out_a.append(b); out_b.append(a); out_c.append(sims[i, j])
+                if not len(ii):
+                    continue
+                a, b = ids_a[ii], ids_b[jj]
+                keep = a != b
+                a, b, c = a[keep], b[keep], sims[ii, jj][keep]
+                lo = np.where(a < b, a, b)
+                hi = np.where(a < b, b, a)
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_c.extend(c)
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     return pairs.mapInPandas(run, schema=out_schema).dropDuplicates(
