@@ -254,6 +254,124 @@ def minhash_signature(
     )[0]
 
 
+#: Spark XXH64 primes (org.apache.spark.sql.catalyst.expressions.XXH64 —
+#: the standard public xxHash64 constants)
+_XXH_PRIMES = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _minhash_sigs_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int,
+    seed: int
+) -> DataFrame:
+    """(id, sig array<bigint>) — value-identical to the HOF/explode
+    flavors, with the ``num_hashes`` re-hash + min folds vectorized in
+    numpy (guide §4.2: hand whole Arrow batches to native code).
+
+    The per-shingle base hash stays in the JVM
+    (``transform(shingles, xxhash64)``); the Python side replays Spark's
+    ``xxhash64(h, seed+i)`` column fold — ``hashInt(seed+i,
+    hashLong(h, 42))``, the second operand being an *int* literal in
+    the expression flavors — over uint64 arrays. The hash's mixing of
+    its *input* is independent of its seed argument, so the inner
+    ``hashLong(h, 42)`` is computed once per shingle and the outer
+    fold's input-mix ``(seed+i)·P1`` once per i: ~8 vector ops per
+    (shingle, i) instead of one interpreted expression tree. Exact
+    equality with the expression flavors is pinned by
+    ``test_minhash_row_wise_signatures_value_equal``. Seeds outside
+    int32 would take Spark's long-literal path instead — refused here
+    rather than silently diverging.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, True),
+            StructField("sig", ArrayType(LongType()), True),
+        ]
+    )
+    hs_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(text_col, n), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    )
+    p1, p2, p3, p4, p5 = (np.uint64(p) for p in _XXH_PRIMES)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    def fmix(h):
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+        return h
+
+    if not (-(2**31) <= seed and seed + num_hashes - 1 < 2**31):
+        raise ValueError(
+            "minhash seed range must fit int32 (the expression flavors "
+            "hash the seed as an int literal)"
+        )
+    # outer hash is hashInt(seed+i, inner): its input mix is constant
+    # per i — (seed+i as uint32) · P1
+    seeds = np.arange(seed, seed + num_hashes, dtype=np.int64) & np.int64(
+        0xFFFFFFFF
+    )
+    k1s = seeds.astype(np.uint64) * p1
+    init = np.int64(2**63 - 1)
+
+    def run(batches):
+        for pdf in batches:
+            nrows = len(pdf)
+            if not nrows:
+                continue
+            hs = [
+                np.asarray(x if x is not None else [], dtype=np.int64)
+                for x in pdf["hs"]
+            ]
+            lens = np.fromiter((len(x) for x in hs), dtype=np.int64,
+                               count=nrows)
+            sig_mat = np.full((nrows, num_hashes), init, dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                flat = np.concatenate([x for x in hs if len(x)])
+                h = flat.view(np.uint64)
+                # inner = hashLong(h, 42), once per shingle
+                inner = np.uint64(42) + p5 + np.uint64(8)
+                inner = inner ^ (rotl(h * p2, 31) * p1)
+                inner = rotl(inner, 27) * p1 + p4
+                inner = fmix(inner)
+                # outer (hashInt) seed-side state, once per shingle
+                acc = inner + p5 + np.uint64(4)
+                starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=starts[1:])
+                rows = np.nonzero(nonempty)[0]
+                for i in range(num_hashes):
+                    x = rotl(acc ^ k1s[i], 23) * p2 + p3
+                    x = fmix(x).view(np.int64)
+                    sig_mat[rows, i] = np.minimum.reduceat(x, starts)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "sig": list(sig_mat)}
+            )
+
+    return hs_df.mapInPandas(run, schema=out_schema)
+
+
 def _signatures_from_tokens(
     tok: DataFrame, num_hashes: int, seed: int
 ) -> DataFrame:
@@ -331,23 +449,22 @@ def minhash_signatures(
     map-side combine (each partition pre-reduces to one row per id).
     Same hash family as :func:`minhash_signature`.
 
-    ``row_wise=True`` computes the SAME values with the per-row HOF
-    expression instead (zero shuffle, but interpreted per element):
-    identical shingles (``word_shingles`` feeds both) and identical hash
-    family make the two paths value-equal, so the choice is purely a
-    performance knob. Measured crossover (round 3 + round 5, local[32],
-    warm): row-wise is ~3.5× faster on short documents (0.33 s vs
-    1.2 s on sf0.1's ~50-word docs — per-row overhead dominates), while
-    explode+agg wins on large payloads (18.4 s vs 20.7 s on a 400k-doc
-    larger-doc corpus) and stays the default — at 100 TB web scale the
-    per-shingle work is what must stay in codegen.
+    ``row_wise=True`` computes the SAME values per row, with no
+    shuffle: since round 6 via :func:`_minhash_sigs_arrow` (JVM base
+    hashes + the 64 re-hash/min folds vectorized in numpy over Arrow
+    batches — measured 3.3 s → ~0.9 s over sf1.0's 50k short docs,
+    where the round-5 interpreted HOF flavor already beat explode+agg).
+    Identical shingles (``word_shingles`` feeds all flavors) and an
+    exact replay of the xxhash64 fold keep the paths value-equal
+    (pinned by ``test_minhash_row_wise_signatures_value_equal``), so
+    the choice is purely a performance knob. explode+agg remains the
+    default — one shuffle with map-side combine, entirely codegen, the
+    shape that holds on large-payload corpora (round-3 measurement:
+    18.4 s vs 20.7 s at 400k docs) and at 100 TB.
     """
     if row_wise:
-        return df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(
-                word_shingles(text_col, n), num_hashes, seed
-            ).alias("sig"),
+        return _minhash_sigs_arrow(
+            df, id_col, text_col, n, num_hashes, seed
         )
     return _signatures_from_tokens(
         _doc_tokens(df, id_col, text_col, n), num_hashes, seed
@@ -464,12 +581,15 @@ def minhash_verified_pairs(
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # semi-join BEFORE shingling (round 6): shingles are derived only
+    # for candidate-involved docs, not the whole corpus — and if the
+    # candidate set is ever corpus-sized, shuffling raw text is still
+    # strictly fewer bytes than shuffling its n-times-larger exploded
+    # shingle stream
     tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(text_col, n)).alias("shingle"),
-        )
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
         .join(cand_ids, "id", "leftsemi")
+        .select("id", F.explode(word_shingles("__vt", n)).alias("shingle"))
     )
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
     inter = (
@@ -581,20 +701,27 @@ def minhash_dedup_groups_fast(
             num_hashes,
             seed,
         )
+    from pyspark.sql.window import Window
+
     banded = _banded_buckets(sig, num_hashes, bands)
     # collapse each (band, bucket) to STAR edges member → bucket-min doc
-    # with ONE map-side-combining aggregation: connectivity is identical
-    # to the bipartite doc↔bucket graph (a bucket's members stay joined
-    # through its min member), but CC then runs over doc-only nodes —
-    # half the node count — and starts one hop from star shape, so it
-    # converges in fewer large-star/small-star rounds
-    bucket_min = banded.groupBy("band", "bucket").agg(
-        F.min(F.col("id").cast("string")).alias("rep")
-    )
+    # via ONE (band, bucket)-partitioned window min: connectivity is
+    # identical to the bipartite doc↔bucket graph (a bucket's members
+    # stay joined through its min member), but CC then runs over
+    # doc-only nodes — half the node count — and starts one hop from
+    # star shape, so it converges in fewer large-star/small-star rounds.
+    # A window (one exchange) rather than groupBy + self-join: the join
+    # shape re-derived `banded` — and with it the whole signature
+    # pipeline — on BOTH sides (measured 10.9 s vs 4.5 s at sf1.0 for
+    # 2.5k edges)
+    bucket_w = Window.partitionBy("band", "bucket")
     edges = (
-        banded.join(bucket_min, ["band", "bucket"])
-        .filter(F.col("id").cast("string") != F.col("rep"))
-        .select(F.col("id").cast("string").alias("src"), F.col("rep").alias("dst"))
+        banded.select(
+            F.col("id").cast("string").alias("src"), "band", "bucket"
+        )
+        .withColumn("dst", F.min("src").over(bucket_w))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
     )
     cc = connected_components(edges)
     docs_cc = cc.select(F.col("node").alias("doc_id"), "component")
@@ -609,43 +736,43 @@ def minhash_dedup_groups_fast(
     if verify_threshold is None:
         return groups
 
-    # representative verify: exact n-gram Jaccard(member, rep) — token
-    # join pruned to grouped docs only, O(cluster) not O(cluster²).
-    # NO broadcast hints here: on boilerplate-heavy corpora the grouped
-    # id set is corpus-sized (the whole point of this code path), so the
-    # semi joins must be shuffleable; AQE downgrades them to broadcast
-    # at runtime when the set turns out small
-    grouped_ids = groups.select("doc_id").distinct()
-    tok = (
-        df.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.explode(word_shingles(text_col, n)).alias("shingle"),
+    # representative verify: exact n-gram Jaccard(member, rep) —
+    # O(cluster) pairs, one per member. Round 6 shape: attach the two
+    # raw texts per (member, rep) pair with two joins and compute the
+    # Jaccard as ONE codegen projection (array_intersect over the
+    # distinct shingle arrays, bound once via withColumn) — replacing a
+    # 6-join token-table cascade that re-derived the exploded token
+    # table three times (measured ~6 s → ~1 s at sf1.0 for 4.8k grouped
+    # docs). Value-identical: word_shingles arrays are distinct, so
+    # |array_intersect| equals the old equi-join intersection count and
+    # the division is the same int/int double. Bytes at scale: each
+    # member ships its text once — strictly fewer bytes than the old
+    # full member token table (n shingles ≈ n× text bytes). NO
+    # broadcast hints: the grouped set can be corpus-sized on
+    # boilerplate-heavy corpora; AQE broadcasts when it turns out small
+    txt = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("__vt"),
+    )
+    pairs = (
+        groups.join(txt, "doc_id")
+        .join(
+            txt.select(
+                F.col("doc_id").alias("group_id"),
+                F.col("__vt").alias("__rvt"),
+            ),
+            "group_id",
         )
-        .join(grouped_ids, "doc_id", "leftsemi")
+        .withColumn("__sh", word_shingles("__vt", n))
+        .withColumn("__rsh", word_shingles("__rvt", n))
+        .withColumn("__c", F.size(F.array_intersect("__sh", "__rsh")))
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
-    rep_tok = tok.withColumnsRenamed({"doc_id": "group_id"}).join(
-        groups.select("group_id").distinct(), "group_id", "leftsemi"
+    jac = F.col("__c") / (
+        F.size("__sh") + F.size("__rsh") - F.col("__c")
     )
-    inter = (
-        groups.join(tok, "doc_id")
-        .join(rep_tok, ["group_id", "shingle"])
-        .groupBy("doc_id", "group_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    member_sz = sizes
-    rep_sz = sizes.withColumnsRenamed({"doc_id": "group_id", "size": "rsize"})
-    jac = F.col("c") / (F.col("size") + F.col("rsize") - F.col("c"))
-    verified = (
-        groups.join(inter, ["doc_id", "group_id"], "left")
-        .join(member_sz, "doc_id")
-        .join(rep_sz, "group_id")
-        .filter(
-            (F.col("doc_id") == F.col("group_id"))
-            | (F.coalesce(jac, F.lit(0.0)) >= verify_threshold)
-        )
-        .select("doc_id", "group_id")
-    )
+    verified = pairs.filter(
+        (F.col("doc_id") == F.col("group_id")) | (jac >= verify_threshold)
+    ).select("doc_id", "group_id")
     keep = verified.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz2"))
     return (
         verified.join(keep, "group_id")
