@@ -28,6 +28,59 @@ def _as_double_array(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def _blas_topk_single(
+    src: DataFrame, query: list[float], k: int
+) -> DataFrame:
+    """(id, cosine) partial top-k candidates for ONE query vector over
+    ``src(id, v)`` — per-partition float64 BLAS scoring in mapInPandas
+    (guide §4.2), tie-safe truncation to each partition's top-``k``
+    under (cosine desc, id asc). Callers apply the exact global
+    ``orderBy(...).limit(k)``. NULL or zero-norm vectors score 0.0,
+    matching :func:`..operators.dedup.cosine_sim`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", src.schema["id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["id"].to_numpy()
+            col = np.zeros(n, dtype=np.float64)
+            if qn > 0.0:
+                ok = pdf["v"].notna().to_numpy()
+                if ok.any():
+                    vm = np.asarray(
+                        pdf["v"][ok].to_list(), dtype=np.float64
+                    )
+                    vn = np.linalg.norm(vm, axis=1)
+                    vzero = vn == 0.0
+                    vn[vzero] = 1.0
+                    s = (vm @ q) / (vn * qn)
+                    s[vzero] = 0.0
+                    col[ok] = s
+            if n > k:
+                thr = np.partition(col, n - k)[n - k]
+                cand = np.nonzero(col >= thr)[0]
+            else:
+                cand = np.arange(n)
+            sel = cand[np.lexsort((ids[cand], -col[cand]))][:k]
+            yield pd.DataFrame({"id": ids[sel], "cosine": col[sel]})
+
+    return src.select("id", "v").mapInPandas(score, schema=out_schema)
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -38,12 +91,14 @@ def cosine_topk(
     """Exact top-k rows by cosine similarity to ``query``.
 
     Returns (id, cosine) ordered desc, deterministic tiebreak by id.
+    Scoring runs per partition as one BLAS matvec (round 6 — formerly
+    one interpreted higher-order aggregate per row); the global
+    order-and-limit stays exact.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        cosine_sim(_as_double_array(vec_col), q).alias("cosine"),
+    src = df.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
     )
+    scored = _blas_topk_single(src, query, k)
     return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
@@ -147,6 +202,7 @@ def ivf_index(
     seed: int = 42,
     fit_fraction: float | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids + per-vector cell id.
 
@@ -154,7 +210,10 @@ def ivf_index(
     job over the fit set) — the quantizer build budget, as in standard
     IVF implementations. Fewer iterations only shift cell BOUNDARIES:
     recall at a given n_probe may change, exactness at
-    n_probe == n_centroids never does.
+    n_probe == n_centroids never does. ``init_mode`` is KMeans'
+    ``initMode`` (``"random"`` skips the k-means|| init passes — same
+    exactness argument; the default keeps the better-spread quantizer
+    for partial-probe serving).
 
     Returns (assignments(id, v, cell), centroids). The index DataFrame
     should be persisted/bucketed by ``cell`` at scale so probes prune
@@ -200,7 +259,8 @@ def ivf_index(
     else:
         fit_src = src
     km = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter,
+        initMode=init_mode,
     ).fit(fit_src)
     assigned = km.transform(src).select(
         "id", "v", F.col("prediction").alias("cell")
@@ -236,10 +296,9 @@ def ivf_topk(
     # quicksort argsort could pick a different probe set on tied sims
     probe_cells = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
 
-    q_col = F.array(*[F.lit(float(x)) for x in query])
+    src = index.filter(F.col("cell").isin(probe_cells)).select("id", "v")
     return (
-        index.filter(F.col("cell").isin(probe_cells))
-        .select("id", cosine_sim(F.col("v"), q_col).alias("cosine"))
+        _blas_topk_single(src, [float(x) for x in query], k)
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
         .limit(k)
     )
