@@ -585,13 +585,19 @@ def minhash_verified_pairs(
     # for candidate-involved docs, not the whole corpus — and if the
     # candidate set is ever corpus-sized, shuffling raw text is still
     # strictly fewer bytes than shuffling its n-times-larger exploded
-    # shingle stream
-    tok = (
+    # shingle stream. The shingled candidate rows are cached: the
+    # intersection join consumes them twice (id_a and id_b sides) and
+    # re-deriving them costs a semi join + shingle build each time
+    cand_sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
         .join(cand_ids, "id", "leftsemi")
-        .select("id", F.explode(word_shingles("__vt", n)).alias("shingle"))
+        .select("id", word_shingles("__vt", n).alias("__sh"))
+        .cache()
     )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
+    tok = cand_sh.select("id", F.explode("__sh").alias("shingle"))
+    # |distinct shingle array| == exploded row count per id — an
+    # expression over the cached rows, not a groupBy over the tokens
+    sizes = cand_sh.select("id", F.size("__sh").alias("size"))
     inter = (
         cands.join(tok.withColumnsRenamed({"id": "id_a"}), "id_a")
         .join(tok.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
