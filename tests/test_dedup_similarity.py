@@ -114,6 +114,67 @@ def test_minhash_dedup_groups_fast_matches_pairwise(dup_corpus):
     assert all(loose[k] == v for k, v in pairwise.items())
 
 
+def test_minhash_fast_rep_verify_drops_chained_member(spark):
+    """Pins the DOCUMENTED rep-verify caveat (minhash_dedup_groups_fast
+    docstring): on a bucket-chained cluster A~B~C with J(A,B) ≥ t and
+    J(B,C) ≥ t but J(A,C) < t, rep-verify (against rep = min id = A)
+    drops the legitimately chained member C, while the unverified
+    variant and the PAIRWISE path (which verifies edges, not members)
+    both keep it. Exact-dedup-first in KGPipeline is the rescue for
+    exact copies — this caveat only affects near-dup chains."""
+    from llm_information_extraction_spark.operators.dedup import (
+        minhash_dedup_groups_fast,
+        ngram_jaccard_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    wa = base.split()
+    wb = list(wa)
+    wb[2], wb[14] = "changeb1", "changeb2"
+    wc = list(wb)
+    wc[7], wc[20], wc[26] = "changec1", "changec2", "changec3"
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(wa)),
+            (2, " ".join(wb)),
+            (3, " ".join(wc)),
+            (4, "unrelated filler text about entirely different things "
+                "and topics galore"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # the planted chain: A~B and B~C above 0.5, A~C below it
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] >= 0.5 and jac[(2, 3)] >= 0.5
+    assert jac[(1, 3)] < 0.5
+    loose = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups_fast(df).collect()
+    }
+    assert loose == {"1": "1", "2": "1", "3": "1"}  # banding chains A-B-C
+    verified = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups_fast(
+            df, verify_threshold=0.5
+        ).collect()
+    }
+    # C fails J(member, rep=A) and leaves the cluster — the documented
+    # O(cluster) rep-verify trade-off vs O(cluster²) pair verification
+    assert verified == {"1": "1", "2": "1"}
+    pairwise = {
+        r["doc_id"]: r["group_id"]
+        for r in minhash_dedup_groups(df, threshold=0.5).collect()
+    }
+    assert pairwise == {"1": "1", "2": "1", "3": "1"}
+
+
 def test_minhash_row_wise_signatures_value_equal(spark):
     """The per-row HOF signature and the explode+agg signature must be
     VALUE-IDENTICAL (same shingles, same hash family) — row_wise is a
@@ -144,6 +205,26 @@ def test_minhash_row_wise_signatures_value_equal(spark):
         for r in minhash_dedup_groups(d, threshold=0.5, row_wise=True).collect()
     )
     assert groups_agg == groups_hof and groups_agg
+
+
+def test_simhash_md5_arrow_matches_agg(spark):
+    """The numpy-vectorized md5 signature path (hash_fn='md5') must be
+    BIT-IDENTICAL to the 65-aggregate expression flavor (kept reachable
+    as hash_fn='md5_agg') — the oracle's bit-exactness rests on it."""
+    from llm_information_extraction_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    arrow = {
+        r["id"]: r["sig"]
+        for r in simhash_signatures(d, hash_fn="md5").collect()
+    }
+    agg = {
+        r["id"]: r["sig"]
+        for r in simhash_signatures(d, hash_fn="md5_agg").collect()
+    }
+    assert arrow == agg and len(arrow) == d.count()
 
 
 def test_winnow_fingerprints_guarantee(spark):
