@@ -504,6 +504,45 @@ def _banded_buckets(
     )
 
 
+def _banded_slices(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> tuple[DataFrame, list[str]]:
+    """(id, band, b0..b{r-1}) — each band's RAW signature slice as the
+    bucket key, no hash (round 6). Two docs collide on a band iff the
+    slice values are equal — the exact LSH banding definition — which
+    removes both the 2⁻⁶⁴ bucket-collision caveat and the per-row
+    cast-to-string + concat + xxhash64 codegen of
+    :func:`_banded_buckets`. The hashed form is kept for the streaming
+    store, whose PERSISTED bucket keys must stay stable across
+    versions. Returns (frame, key column names); the ≤ r·8-byte-wider
+    shuffle key is noise next to the removed per-row work.
+    """
+    r = num_hashes // bands
+    keys = [f"b{i}" for i in range(r)]
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    *[
+                        F.element_at(F.col("sig"), b * r + i + 1).alias(
+                            f"b{i}"
+                        )
+                        for i in range(r)
+                    ],
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        *[F.col(f"bb.b{i}").alias(f"b{i}") for i in range(r)],
+    )
+    return banded, keys
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -529,11 +568,11 @@ def minhash_candidate_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, row_wise
     ).cache()
-    banded = _banded_buckets(sig, num_hashes, bands)
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    banded, keys = _banded_slices(sig, num_hashes, bands)
+    a = banded.select(F.col("id").alias("id_a"), "band", *keys)
+    b = banded.select(F.col("id").alias("id_b"), "band", *keys)
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", *keys])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates()
@@ -709,9 +748,9 @@ def minhash_dedup_groups_fast(
         )
     from pyspark.sql.window import Window
 
-    banded = _banded_buckets(sig, num_hashes, bands)
-    # collapse each (band, bucket) to STAR edges member → bucket-min doc
-    # via ONE (band, bucket)-partitioned window min: connectivity is
+    banded, keys = _banded_slices(sig, num_hashes, bands)
+    # collapse each band bucket to STAR edges member → bucket-min doc
+    # via ONE bucket-partitioned window min: connectivity is
     # identical to the bipartite doc↔bucket graph (a bucket's members
     # stay joined through its min member), but CC then runs over
     # doc-only nodes — half the node count — and starts one hop from
@@ -720,10 +759,10 @@ def minhash_dedup_groups_fast(
     # shape re-derived `banded` — and with it the whole signature
     # pipeline — on BOTH sides (measured 10.9 s vs 4.5 s at sf1.0 for
     # 2.5k edges)
-    bucket_w = Window.partitionBy("band", "bucket")
+    bucket_w = Window.partitionBy("band", *keys)
     edges = (
         banded.select(
-            F.col("id").cast("string").alias("src"), "band", "bucket"
+            F.col("id").cast("string").alias("src"), "band", *keys
         )
         .withColumn("dst", F.min("src").over(bucket_w))
         .filter(F.col("src") != F.col("dst"))
