@@ -185,6 +185,60 @@ def _portable_gram_key(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
 
 
+def _gram_keys_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, k) — one row per DISTINCT word ``n``-gram of the normalized
+    text, keyed like :func:`_portable_gram_key`, computed in Python over
+    Arrow batches (guide §4.2: the md5-per-gram + hex-parse work runs
+    ~2× faster through hashlib on pre-normalized strings than through
+    the explode → md5 → conv expression chain — measured 1.6 s → 0.8 s
+    over sf1.0's 4.4M train grams). Normalization (lower, collapse
+    whitespace, trim) stays JVM-side so the Python split sees exactly
+    ``word_shingles``' input; gram construction replays its semantics
+    (slice past the end → shorter gram, < n words → one partial gram).
+    Key equality with the expression path is pinned by
+    ``test_contaminated_gram_keys_arrow_matches_expr``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, True),
+            StructField("k", LongType(), True),
+        ]
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    src = df.select(F.col(id_col).alias("id"), norm.alias("__t"))
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out: list = []
+            ks: list = []
+            for did, txt in zip(pdf["id"], pdf["__t"]):
+                ws = (txt or "").split(" ")
+                seen = set()
+                for i in range(max(len(ws) - n + 1, 1)):
+                    g = " ".join(ws[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids_out.append(did)
+                        ks.append(
+                            int(md5(g.encode()).hexdigest()[:14], 16)
+                        )
+            yield pd.DataFrame({"id": ids_out, "k": ks})
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,
@@ -216,16 +270,18 @@ def contaminated_ids(
     arithmetic, engine-reproducible) and the frequency pass runs only
     over eval-matched grams, so its cost is bounded by the eval set.
     """
-    from .dedup import word_shingles
-
     eval_text_col = eval_text_col or text_col
-    train_tok = train.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    ).select(id_col, _portable_gram_key(F.col("g")).alias("k"))
+    train_tok = _gram_keys_arrow(train, id_col, text_col, n).select(
+        F.col("id").alias(id_col), "k"
+    )
+    # the eval side never needs its ids — key on a constant (the helper
+    # only reads the id column's values to pass them through)
+    ev = eval_df.select(
+        F.lit(0).alias("__eval_id"), F.col(eval_text_col)
+    )
     eval_keys = (
-        eval_df.select(F.explode(word_shingles(eval_text_col, n)).alias("g"))
-        .select(_portable_gram_key(F.col("g")).alias("k"))
+        _gram_keys_arrow(ev, "__eval_id", eval_text_col, n)
+        .select("k")
         .distinct()
     )
     if max_gram_docs is None:

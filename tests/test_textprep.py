@@ -212,3 +212,31 @@ def test_decontamination_boilerplate_cap(spark):
         for r in contaminated_ids(train, eval_df, max_gram_docs=5).collect()
     }
     assert capped == {"bad"}
+
+
+def test_contaminated_gram_keys_arrow_matches_expr(spark):
+    """The Arrow gram-keying path must produce EXACTLY the expression
+    path's (id, key) set — decontamination's oracle equality rests on
+    the md5-derived keys being bit-identical."""
+    from llm_information_extraction_spark.operators.dedup import (
+        word_shingles,
+    )
+    from llm_information_extraction_spark.operators.textprep import (
+        _gram_keys_arrow,
+        _portable_gram_key,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expr = set(
+        (r["doc_id"], r["k"])
+        for r in d.select(
+            "doc_id", F.explode(word_shingles("text", 13)).alias("g")
+        )
+        .select("doc_id", _portable_gram_key(F.col("g")).alias("k"))
+        .collect()
+    )
+    arrow = set(
+        (r["id"], r["k"])
+        for r in _gram_keys_arrow(d, "doc_id", "text", 13).collect()
+    )
+    assert arrow == expr and len(arrow) > 0
