@@ -158,11 +158,10 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     e = _ckpt(_canonical_edges(edges))
-    if e.isEmpty():
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "node string, component string")
-
     if local_threshold:
+        # ONE bounded read decides empty/local/distributed (round 6:
+        # the separate isEmpty() job was redundant — an empty head IS
+        # the empty check on this path)
         head = e.limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
             # the checkpointed edge blocks have no reader after this
@@ -170,7 +169,14 @@ def connected_components(
             # micro-batch; waiting for driver GC would accumulate one
             # materialized edge set per batch in the block manager)
             e.unpersist()
+            if not head:
+                return edges.sparkSession.createDataFrame(
+                    [], "node string, component string"
+                )
             return _local_components(edges.sparkSession, head)
+    elif e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, component string")
 
     prev_stats = _edge_stats(e)
     for _ in range(max_iterations):
