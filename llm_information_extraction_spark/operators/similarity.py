@@ -555,20 +555,20 @@ def embedding_near_dup_pairs_blocked(
     """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
 
     The scalable exact path: vectors are hashed into ``num_blocks``
-    groups; every block *pair* (B(B+1)/2 tasks) receives two dense
-    matrices and runs one numpy matmul in a mapInPandas stage. Same
-    output contract as dedup.embedding_near_dup_pairs; Arrow moves each
-    vector B times instead of n times (cross join), and the O(n²·d) flops
-    run in BLAS instead of interpreted expression lambdas.
+    groups and every row is replicated to each of its block's
+    B(B+1)/2 − (B−1) block-*pair* groups via one explode; an
+    ``applyInPandas`` over (pa, pb) then runs one numpy matmul per
+    group. Same output contract as dedup.embedding_near_dup_pairs;
+    each vector crosses the shuffle B times (vs n times for a cross
+    join) and the O(n²·d) flops run in BLAS instead of interpreted
+    expression lambdas.
 
-    Block rows carry FLAT columns — (ids array, vecs array<double> of
-    n·d values) — not an array of (id, v) structs: a struct-array cell
-    crosses the Arrow boundary as millions of per-element Python
-    dict/list objects, which round 6 measured as the dominant cost of
-    this operator (~3x the matmul); the flat arrays convert to numpy
-    with one reshape. ``collect_list`` over the two columns inside one
-    aggregate sees rows in the same order, so ids and vectors stay
-    aligned.
+    Round-6 shape: plain rows through one exchange — no
+    ``collect_list`` block arrays (object aggregates, computed once
+    per cross-join SIDE in the former shape) and no broadcast of the
+    blocks relation (which carried the ENTIRE corpus through a single
+    BroadcastExchange — an 8 GB hard cap the row shuffle does not
+    have).
 
     Choose num_blocks ≈ sqrt(n·d·8 / 64MB) so a block pair fits in task
     memory.
@@ -590,64 +590,63 @@ def embedding_near_dup_pairs_blocked(
             StructField("cosine", DoubleType(), False),
         ]
     )
-    blocks = (
+    rows = (
         df.select(
             F.col(id_col).alias("id"),
             _as_double_array(vec_col).alias("v"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
         )
-        .groupBy("block")
-        .agg(
-            F.collect_list("id").alias("ids"),
-            F.flatten(F.collect_list("v")).alias("vecs"),
+        .withColumn(
+            "other", F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1)))
         )
-    )
-    pairs = (
-        blocks.alias("x")
-        .crossJoin(blocks.alias("y"))
-        .filter(F.col("x.block") <= F.col("y.block"))
         .select(
-            F.col("x.ids").alias("ids_a"),
-            F.col("x.vecs").alias("vecs_a"),
-            F.col("y.ids").alias("ids_b"),
-            F.col("y.vecs").alias("vecs_b"),
+            F.least("block", "other").alias("pa"),
+            F.greatest("block", "other").alias("pb"),
+            "id",
+            "v",
+            "block",
         )
     )
 
-    def run(batches):
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            for r in pdf.itertuples(index=False):
-                ids_a = np.asarray(r.ids_a)
-                ids_b = np.asarray(r.ids_b)
-                if not len(ids_a) or not len(ids_b):
-                    continue
-                ma = np.asarray(r.vecs_a, dtype=np.float64).reshape(
-                    len(ids_a), -1
-                )
-                mb = np.asarray(r.vecs_b, dtype=np.float64).reshape(
-                    len(ids_b), -1
-                )
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
-                na[na == 0] = 1.0
-                nb[nb == 0] = 1.0
-                sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
-                ii, jj = np.where(sims >= threshold)
-                if not len(ii):
-                    continue
-                a, b = ids_a[ii], ids_b[jj]
-                keep = a != b
-                a, b, c = a[keep], b[keep], sims[ii, jj][keep]
-                lo = np.where(a < b, a, b)
-                hi = np.where(a < b, b, a)
-                out_a.extend(lo)
-                out_b.extend(hi)
-                out_c.extend(c)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(pdf):
+            return empty
+        pa, pb = pdf["pa"].iat[0], pdf["pb"].iat[0]
+        same = pa == pb
+        a = pdf[pdf["block"] == pa]
+        b = a if same else pdf[pdf["block"] == pb]
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a["id"].to_numpy()
+        ids_b = ids_a if same else b["id"].to_numpy()
+        ma = np.asarray(a["v"].to_list(), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        na[na == 0] = 1.0
+        if same:
+            mb, nb = ma, na
+        else:
+            mb = np.asarray(b["v"].to_list(), dtype=np.float64)
+            nb = np.linalg.norm(mb, axis=1)
+            nb[nb == 0] = 1.0
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        ii, jj = np.where(sims >= threshold)
+        if same:
+            tri = ii < jj  # each unordered pair once within a block
+            ii, jj = ii[tri], jj[tri]
+        if not len(ii):
+            return empty
+        x, y = ids_a[ii], ids_b[jj]
+        keep = x != y
+        x, y, c = x[keep], y[keep], sims[ii, jj][keep]
+        lo = np.where(x < y, x, y)
+        hi = np.where(x < y, y, x)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c})
 
-    return pairs.mapInPandas(run, schema=out_schema).dropDuplicates(
-        ["id_a", "id_b"]
+    return (
+        rows.groupBy("pa", "pb")
+        .applyInPandas(run_group, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
