@@ -49,7 +49,13 @@ def value_hash(rows: list[dict]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # usage: check_contract.py [sf_dir] [--queries a,b,c]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="contract-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -62,6 +68,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict(recursive=True) for r in sdf.collect()]
