@@ -770,11 +770,14 @@ def minhash_dedup_groups_fast(
     )
     cc = connected_components(edges)
     docs_cc = cc.select(F.col("node").alias("doc_id"), "component")
-    rep = docs_cc.groupBy("component").agg(
-        F.min("doc_id").alias("group_id"), F.count(F.lit(1)).alias("sz")
-    )
+    # representative + cluster size via ONE component-partitioned
+    # window instead of groupBy + self-join: the join shape re-derived
+    # the CC output subtree on both sides (two aggregate scans, twice
+    # the plan), the window is one exchange over the grouped docs
+    comp_w = Window.partitionBy("component")
     groups = (
-        docs_cc.join(rep, "component")
+        docs_cc.withColumn("group_id", F.min("doc_id").over(comp_w))
+        .withColumn("sz", F.count(F.lit(1)).over(comp_w))
         .filter(F.col("sz") > 1)
         .select("doc_id", "group_id")
     )
@@ -818,9 +821,14 @@ def minhash_dedup_groups_fast(
     verified = pairs.filter(
         (F.col("doc_id") == F.col("group_id")) | (jac >= verify_threshold)
     ).select("doc_id", "group_id")
-    keep = verified.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz2"))
+    # post-verify singleton drop via a window, NOT groupBy + self-join:
+    # the join re-computed the ENTIRE verify subtree (text joins, both
+    # shingle builds, the intersection) on both sides — measured as the
+    # two slowest stages of the whole query at 10x scale. The window is
+    # one exchange over the already-verified (doc_id, group_id) rows.
+    keep_w = Window.partitionBy("group_id")
     return (
-        verified.join(keep, "group_id")
+        verified.withColumn("sz2", F.count(F.lit(1)).over(keep_w))
         .filter(F.col("sz2") > 1)
         .select("doc_id", "group_id")
     )
