@@ -760,13 +760,21 @@ def minhash_dedup_groups_fast(
     # pipeline — on BOTH sides (measured 10.9 s vs 4.5 s at sf1.0 for
     # 2.5k edges)
     bucket_w = Window.partitionBy("band", *keys)
+    # the window min runs on the NATIVE id type and the string cast
+    # happens after: the bucket anchor only needs to be *consistent*
+    # within the bucket for connectivity (every member joins through
+    # it), so a numeric-min anchor yields the same components as a
+    # lexicographic one, while the 800k-row/band-count shuffle sorts
+    # 8-byte longs instead of strings. Representatives (group_id) are
+    # still min STRING doc ids — computed downstream over docs_cc.
     edges = (
-        banded.select(
-            F.col("id").cast("string").alias("src"), "band", *keys
+        banded.select("id", "band", *keys)
+        .withColumn("dst", F.min("id").over(bucket_w))
+        .filter(F.col("id") != F.col("dst"))
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
         )
-        .withColumn("dst", F.min("src").over(bucket_w))
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
     )
     cc = connected_components(edges)
     docs_cc = cc.select(F.col("node").alias("doc_id"), "component")
