@@ -633,23 +633,32 @@ def minhash_verified_pairs(
         .select("id", word_shingles("__vt", n).alias("__sh"))
         .cache()
     )
-    tok = cand_sh.select("id", F.explode("__sh").alias("shingle"))
-    # |distinct shingle array| == exploded row count per id — an
-    # expression over the cached rows, not a groupBy over the tokens
-    sizes = cand_sh.select("id", F.size("__sh").alias("size"))
+    # each token row carries its doc's |distinct shingle set| (8 bytes
+    # per SHARED token row in the shuffle) so the per-pair sizes ride
+    # through the intersection aggregate as min() of a per-id constant
+    # — two fewer joins (and AQE broadcast waves) than joining a sizes
+    # relation back in per side
+    tok = cand_sh.select(
+        "id", F.size("__sh").alias("sz"), F.explode("__sh").alias("shingle")
+    )
     inter = (
-        cands.join(tok.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(tok.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        cands.join(
+            tok.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a"
+        )
+        .join(
+            tok.withColumnsRenamed({"id": "id_b", "sz": "size_b"}),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("size_a").alias("size_a"),
+            F.min("size_b").alias("size_b"),
+        )
     )
     jac = F.col("c") / (F.col("size_a") + F.col("size_b") - F.col("c"))
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a"
-        )
-        .join(sizes.withColumnsRenamed({"id": "id_b", "size": "size_b"}), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
