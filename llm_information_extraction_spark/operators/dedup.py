@@ -914,14 +914,20 @@ def _simhash_sigs_arrow_md5(
             StructField("sig", LongType(), True),
         ]
     )
-    hexes = F.transform(word_shingles(text_col, n), lambda s: F.md5(s))
-    packed = F.transform(
-        hexes,
-        lambda h: F.shiftleft(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
-        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+    # round 6: shingling + md5 + 64-bit packing moved INTO the kernel —
+    # the JVM ships only the normalized text (so the Python split sees
+    # exactly word_shingles' input, the _gram_keys_arrow pattern) and
+    # the md5 → conv(substring)×2 → shiftleft expression chain (the
+    # cold-JIT-heaviest part of the query) disappears.
+    # int.from_bytes(digest[:8], 'big') == conv(hex[1:8]) << 32 |
+    # conv(hex[9:16]) — the same first 8 digest bytes big-endian.
+    # Distinctness is set semantics; bit sums don't depend on order.
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
     )
-    src = df.select(F.col(id_col).alias("id"), packed.alias("hs"))
+    src = df.select(F.col(id_col).alias("id"), norm.alias("__t"))
     # bit b of the signature reads bit (3 - b%4) of hex digit b//4;
     # digit i of a 32-bit half occupies bits [4*(7 - i%8), ...+3], and
     # the first 8 digits live in the high half of the packed long
@@ -934,23 +940,31 @@ def _simhash_sigs_arrow_md5(
     )
 
     def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        ib = int.from_bytes
         for pdf in batches:
             nrows = len(pdf)
             if not nrows:
                 continue
-            hs = [
-                np.asarray(x if x is not None else [], dtype=np.int64)
-                for x in pdf["hs"]
-            ]
-            lens = np.fromiter(
-                (len(x) for x in hs), dtype=np.int64, count=nrows
-            )
+            flat_list: list = []
+            lens = np.empty(nrows, dtype=np.int64)
+            for j, txt in enumerate(pdf["__t"]):
+                ws = (txt or "").split(" ")
+                seen = set()
+                for i in range(max(len(ws) - n + 1, 1)):
+                    g = " ".join(ws[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        flat_list.append(
+                            ib(md5(g.encode()).digest()[:8], "big")
+                        )
+                lens[j] = len(seen)
             sig = np.zeros(nrows, dtype=np.uint64)
             nonempty = lens > 0
             if nonempty.any():
-                flat = np.concatenate([x for x in hs if len(x)]).view(
-                    np.uint64
-                )
+                flat = np.array(flat_list, dtype=np.uint64)
                 starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
                 np.cumsum(lens[nonempty][:-1], out=starts[1:])
                 rows = np.nonzero(nonempty)[0]
